@@ -1,0 +1,98 @@
+"""Relative-position multi-head attention (Transformer-XL style).
+
+jnp reference implementation of the attention math in reference
+model/mem_transformer.py:154-257 (RelPartialLearnableMultiHeadAttn):
+fused QKV projection, AC/BD score decomposition with the pad-reshape
+relative-shift, additive position-bias vectors r_w/r_r, masked fp32 softmax.
+
+The Pallas fused kernel in transformer_gan_tpu.ops.pallas_attention computes
+the same function; this module is the oracle/fallback path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-5  # torch.nn.LayerNorm default, for parity with the reference
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = LN_EPS) -> jnp.ndarray:
+    # Accumulate at >= fp32 (fp64 inputs keep fp64 for exactness checks).
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(acc)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """The pad-and-reshape relative shift (reference
+    mem_transformer.py:133-147). x: [bsz, n_head, qlen, klen]."""
+    b, n, q, k = x.shape
+    zero_pad = jnp.zeros((b, n, q, 1), dtype=x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=3)
+    x_padded = x_padded.reshape(b, n, k + 1, q)
+    return x_padded[:, :, 1:].reshape(b, n, q, k)
+
+
+def rel_attention(w: jnp.ndarray,
+                  cat: jnp.ndarray,
+                  r: jnp.ndarray,
+                  qkv_w: jnp.ndarray,
+                  r_w: jnp.ndarray,
+                  o_w: jnp.ndarray,
+                  r_w_bias: jnp.ndarray,
+                  r_r_bias: jnp.ndarray,
+                  attn_mask: jnp.ndarray,
+                  n_head: int,
+                  d_head: int,
+                  *,
+                  softmax_dtype=jnp.float32,
+                  dropatt_rng=None,
+                  dropatt_rate: float = 0.0) -> jnp.ndarray:
+    """Core XL attention (post-projection residual/LN handled by caller).
+
+    w:    [qlen, bsz, d_model]  current segment input (already pre-LN'd if
+          pre_lnorm)
+    cat:  [klen, bsz, d_model]  memory-concatenated input for K/V (and Q tail)
+    r:    [klen, d_model]       relative positional embeddings (distance
+          klen-1 .. 0)
+    attn_mask: [bsz or 1, qlen, klen] bool, True = masked.
+    Returns attn output [qlen, bsz, n_head*d_head] (before o_net).
+    """
+    qlen, bsz = w.shape[0], w.shape[1]
+    klen = cat.shape[0]
+    scale = 1.0 / (d_head ** 0.5)
+
+    w_heads = cat @ qkv_w  # [klen, bsz, 3*n_head*d_head]
+    w_head_q, w_head_k, w_head_v = jnp.split(w_heads, 3, axis=-1)
+    w_head_q = w_head_q[-qlen:]
+    r_head_k = r @ r_w  # [klen, n_head*d_head]
+
+    w_head_q = w_head_q.reshape(qlen, bsz, n_head, d_head)
+    w_head_k = w_head_k.reshape(klen, bsz, n_head, d_head)
+    w_head_v = w_head_v.reshape(klen, bsz, n_head, d_head)
+    r_head_k = r_head_k.reshape(klen, n_head, d_head)
+
+    rw_head_q = w_head_q + r_w_bias.astype(w_head_q.dtype)
+    AC = jnp.einsum("ibnd,jbnd->bnij", rw_head_q, w_head_k)
+    rr_head_q = w_head_q + r_r_bias.astype(w_head_q.dtype)
+    BD = jnp.einsum("ibnd,jnd->bnij", rr_head_q, r_head_k.astype(w_head_q.dtype))
+    BD = rel_shift(BD)
+
+    attn_score = (AC + BD).astype(softmax_dtype) * scale
+    neg = jnp.asarray(jnp.finfo(softmax_dtype).min, dtype=softmax_dtype)
+    attn_score = jnp.where(attn_mask[:, None, :, :], neg, attn_score)
+    attn_prob = jax.nn.softmax(attn_score, axis=3)
+
+    if dropatt_rng is not None and dropatt_rate > 0.0:
+        keep = jax.random.bernoulli(dropatt_rng, 1.0 - dropatt_rate,
+                                    attn_prob.shape)
+        attn_prob = jnp.where(keep, attn_prob / (1.0 - dropatt_rate), 0.0)
+
+    attn_prob = attn_prob.astype(w_head_v.dtype)
+    attn_vec = jnp.einsum("bnij,jbnd->ibnd", attn_prob, w_head_v)
+    return attn_vec.reshape(qlen, bsz, n_head * d_head)

@@ -1,0 +1,403 @@
+"""Transformer-XL language model as pure functions over a parameter pytree.
+
+TPU-native counterpart of the reference ``MemTransformerLM``
+(model/mem_transformer.py:344-670): relative-position attention with
+segment-level recurrence memory, tied embedding/softmax, and three heads
+(per-token NLL, logits for incremental decoding, straight-through
+Gumbel-softmax sampling).
+
+Design departures from the reference, for XLA:
+
+* **Static-shape memory.** The reference grows ``mems`` from empty and
+  mutates ``tgt_len``/``mem_len`` at runtime (mem_transformer.py:432-482).
+  Here memory is a fixed ring buffer ``[n_layer+1, mem_len, bsz, d]`` plus a
+  valid-count scalar; invalid slots sit on the left and are masked. Because
+  valid slots always occupy the buffer tail, a key at static index ``j`` is
+  at relative distance ``mem_len + i - j`` from query ``i`` regardless of
+  fill count, so a single compiled program covers the whole growing phase
+  and matches the dynamic reference exactly (masked softmax equivalence).
+* Functional RNG (dropout/gumbel take explicit keys), explicit
+  ``same_length``/``train`` switches instead of module mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import layer_norm, rel_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class XLConfig:
+    """Static model hyperparameters (hashable; safe as a jit static arg)."""
+
+    n_token: int = 310
+    n_layer: int = 6
+    n_head: int = 10
+    d_model: int = 500
+    d_inner: int = 1000
+    dropout: float = 0.1
+    dropatt: float = 0.1
+    pre_lnorm: bool = False
+    clamp_len: int = -1
+    append_note_status: bool = False
+    vec_len: int = 0
+    compute_dtype: str = "float32"
+    softmax_dtype: str = "float32"
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def sdtype(self):
+        return jnp.dtype(self.softmax_dtype)
+
+    @classmethod
+    def from_cfg(cls, cfg, n_token: int, vec_len: int = 0) -> "XLConfig":
+        return cls(
+            n_token=n_token,
+            n_layer=cfg.MODEL.num_layers,
+            n_head=cfg.MODEL.num_heads,
+            d_model=cfg.MODEL.units,
+            d_inner=cfg.MODEL.inner_size,
+            dropout=cfg.MODEL.dropout,
+            dropatt=cfg.MODEL.attention_dropout,
+            pre_lnorm=cfg.MODEL.pre_lnorm,
+            clamp_len=cfg.MODEL.clamp_len,
+            append_note_status=cfg.TRAIN.append_note_status,
+            vec_len=vec_len,
+            compute_dtype=cfg.TPU.compute_dtype,
+            softmax_dtype=cfg.TPU.softmax_dtype,
+        )
+
+
+class XLMems(NamedTuple):
+    """Segment-recurrence state: ring buffer + number of valid tail slots."""
+
+    hids: jnp.ndarray   # [n_layer+1, mem_len, bsz, d_model]
+    count: jnp.ndarray  # int32 scalar
+
+
+def init_mems(cfg: XLConfig, mem_len: int, bsz: int,
+              dtype=None) -> XLMems:
+    """Empty memory (reference init_mems, mem_transformer.py:436-443)."""
+    dtype = dtype or cfg.cdtype
+    return XLMems(
+        hids=jnp.zeros((cfg.n_layer + 1, mem_len, bsz, cfg.d_model),
+                       dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_xl_params(cfg: XLConfig, seed: int = 0, init_std: float = 0.01
+                   ) -> dict:
+    """Initialization mirroring reference weights_init (train.py:291-350):
+    Linear/Embedding weights ~ N(0, 0.01), biases 0, LayerNorm weight
+    ~ N(1, 0.01), r_w_bias/r_r_bias ~ N(0, 0.01)."""
+    rng = np.random.RandomState(seed)
+
+    def normal(shape, mean=0.0):
+        return jnp.asarray(
+            rng.normal(mean, init_std, size=shape), dtype=jnp.float32)
+
+    def zeros(shape):
+        return jnp.zeros(shape, dtype=jnp.float32)
+
+    d, h, dh, di = cfg.d_model, cfg.n_head, cfg.d_head, cfg.d_inner
+    params: dict[str, Any] = {
+        "word_emb": normal((cfg.n_token, d)),
+        "crit_bias": zeros((cfg.n_token,)),
+        "r_w_bias": normal((h, dh)),
+        "r_r_bias": normal((h, dh)),
+        "layers": [],
+    }
+    if cfg.append_note_status:
+        params["status_emb"] = normal((cfg.vec_len, d))
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "qkv_w": normal((d, 3 * h * dh)),
+            "r_w": normal((d, h * dh)),
+            "o_w": normal((h * dh, d)),
+            "attn_ln_scale": normal((d,), mean=1.0),
+            "attn_ln_bias": zeros((d,)),
+            "ff_w1": normal((d, di)),
+            "ff_b1": zeros((di,)),
+            "ff_w2": normal((di, d)),
+            "ff_b2": zeros((d,)),
+            "ff_ln_scale": normal((d,), mean=1.0),
+            "ff_ln_bias": zeros((d,)),
+        })
+    return params
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _dropout(rng, x, rate, train):
+    if not train or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def positional_embedding(cfg: XLConfig, klen: int) -> jnp.ndarray:
+    """Sinusoidal embedding of relative distances klen-1 .. 0
+    (reference mem_transformer.py:7-23,550-555)."""
+    pos_seq = jnp.arange(klen - 1, -1, -1.0, dtype=jnp.float32)
+    if cfg.clamp_len > 0:
+        pos_seq = jnp.clip(pos_seq, a_max=float(cfg.clamp_len))
+    inv_freq = 1.0 / (10000.0 ** (
+        jnp.arange(0.0, cfg.d_model, 2.0, dtype=jnp.float32) / cfg.d_model))
+    sinusoid = jnp.outer(pos_seq, inv_freq)
+    return jnp.concatenate([jnp.sin(sinusoid), jnp.cos(sinusoid)], axis=-1)
+
+
+def embed_input(params, cfg: XLConfig, inp, status_vec=None) -> jnp.ndarray:
+    """Token embedding accepting int ids [q,b] or soft one-hots [q,b,V]
+    (the soft path carries Gumbel-softmax gradients; reference
+    mem_transformer.py:319-341)."""
+    emb_w = params["word_emb"].astype(cfg.cdtype)
+    if inp.ndim == 2:
+        embed = emb_w[inp]
+    else:
+        embed = inp.astype(cfg.cdtype) @ emb_w
+    if cfg.append_note_status and status_vec is not None:
+        embed = embed + status_vec.astype(cfg.cdtype) @ params[
+            "status_emb"].astype(cfg.cdtype)
+    return embed * (cfg.d_model ** 0.5)
+
+
+def build_attn_mask(qlen: int, mem_len: int, count, reset_mems,
+                    same_length: bool, bsz: int) -> jnp.ndarray:
+    """True = masked. [rows, qlen, mem_len+qlen] with rows = bsz if
+    ``reset_mems`` given else 1.
+
+    Reproduces the reference mask construction (mem_transformer.py:495-547)
+    in the static-buffer index space: causal band, invalid left slots, the
+    ``same_length`` constant-history band, and per-row full-memory masking
+    for reset rows (pad_type == "model")."""
+    klen = mem_len + qlen
+    i = jnp.arange(qlen)[:, None]
+    j = jnp.arange(klen)[None, :]
+
+    causal = j > (mem_len + i)
+    invalid = j < (mem_len - count)
+    mask = causal | invalid
+
+    if same_length:
+        # Dynamic-space band: masked where j_dyn <= i - mask_shift_len.
+        j_dyn = j - (mem_len - count)
+        mask_len = count + qlen - mem_len
+        mask_shift_len = jnp.where(mask_len > 0, qlen - mask_len, qlen)
+        mask = mask | (j_dyn <= (i - mask_shift_len))
+
+    mask = mask[None, :, :]
+    if reset_mems is not None:
+        row_reset = reset_mems[:, None, None] & (j < mem_len)[None, :, :]
+        mask = mask | row_reset
+    else:
+        mask = jnp.broadcast_to(mask, (1, qlen, klen))
+    return mask
+
+
+def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
+                  r_w_bias, r_r_bias, attn_mask, rng, train):
+    """One RelPartialLearnableDecoderLayer (attention + position-wise FF;
+    reference mem_transformer.py:261-281)."""
+    r_att, r_o, r_f1, r_f2 = (jax.random.split(rng, 4) if train
+                              else (None,) * 4)
+    cat = jnp.concatenate([mems_i, core_out], axis=0)
+    if cfg.pre_lnorm:
+        w_in = layer_norm(core_out, layer["attn_ln_scale"],
+                          layer["attn_ln_bias"])
+        cat_in = layer_norm(cat, layer["attn_ln_scale"],
+                            layer["attn_ln_bias"])
+    else:
+        w_in, cat_in = core_out, cat
+
+    attn_vec = rel_attention(
+        w_in, cat_in, pos_emb,
+        layer["qkv_w"].astype(cfg.cdtype),
+        layer["r_w"].astype(cfg.cdtype),
+        layer["o_w"].astype(cfg.cdtype),
+        r_w_bias, r_r_bias, attn_mask,
+        cfg.n_head, cfg.d_head,
+        softmax_dtype=cfg.sdtype,
+        dropatt_rng=r_att if train else None,
+        dropatt_rate=cfg.dropatt,
+    )
+    attn_out = attn_vec @ layer["o_w"].astype(cfg.cdtype)
+    attn_out = _dropout(r_o, attn_out, cfg.dropout, train)
+    if cfg.pre_lnorm:
+        out = core_out + attn_out
+    else:
+        out = layer_norm(core_out + attn_out, layer["attn_ln_scale"],
+                         layer["attn_ln_bias"])
+
+    # Position-wise FF (reference mem_transformer.py:26-60)
+    if cfg.pre_lnorm:
+        ff_in = layer_norm(out, layer["ff_ln_scale"], layer["ff_ln_bias"])
+    else:
+        ff_in = out
+    h = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
+                    + layer["ff_b1"].astype(cfg.cdtype))
+    h = _dropout(r_f1, h, cfg.dropout, train)
+    h = h @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
+        cfg.cdtype)
+    h = _dropout(r_f2, h, cfg.dropout, train)
+    if cfg.pre_lnorm:
+        return out + h
+    return layer_norm(out + h, layer["ff_ln_scale"], layer["ff_ln_bias"])
+
+
+# ---------------------------------------------------------------------------
+# Core forward
+# ---------------------------------------------------------------------------
+
+def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
+               reset_mems=None, status_vec=None, *, same_length: bool = False,
+               train: bool = False, rng=None, detach_mems: bool = True,
+               remat: bool = False):
+    """Run the decoder stack. Returns (core_out [q,b,d], new_mems).
+
+    Mirrors reference ``_forward`` + ``_update_mems``
+    (mem_transformer.py:484-576,445-482) over the static memory buffer.
+    """
+    qlen, bsz = inp.shape[0], inp.shape[1]
+    mem_len = mems.hids.shape[1]
+
+    if train:
+        rng, r_emb, r_pos = jax.random.split(rng, 3)
+        rngs = jax.random.split(rng, cfg.n_layer)
+    else:
+        r_emb = r_pos = None
+        rngs = [None] * cfg.n_layer
+
+    word_emb = embed_input(params, cfg, inp, status_vec)
+    attn_mask = build_attn_mask(qlen, mem_len, mems.count, reset_mems,
+                                same_length, bsz)
+    pos_emb = positional_embedding(cfg, mem_len + qlen).astype(cfg.cdtype)
+
+    core_out = _dropout(r_emb, word_emb, cfg.dropout, train)
+    pos_emb = _dropout(r_pos, pos_emb, cfg.dropout, train)
+
+    r_w_bias = params["r_w_bias"].astype(cfg.cdtype)
+    r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
+
+    hids = [core_out]
+    layer_fn = decoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(
+            decoder_layer, static_argnums=(1,), policy=None)
+    for i in range(cfg.n_layer):
+        mems_i = mems.hids[i].astype(cfg.cdtype)
+        core_out = layer_fn(params["layers"][i], cfg, core_out, mems_i,
+                            pos_emb, r_w_bias, r_r_bias, attn_mask,
+                            rngs[i], train)
+        hids.append(core_out)
+
+    final_rng = None
+    if train:
+        final_rng = jax.random.fold_in(rng, 12345)
+    out = _dropout(final_rng, core_out, cfg.dropout, train)
+
+    # Memory update: roll the ring buffer (reference _update_mems).
+    if mem_len > 0:
+        stacked = jnp.stack(hids).astype(mems.hids.dtype)
+        new_hids = jnp.concatenate([mems.hids, stacked], axis=1)[:, -mem_len:]
+        if detach_mems:
+            new_hids = jax.lax.stop_gradient(new_hids)
+        new_count = jnp.minimum(mems.count + qlen, mem_len)
+        new_mems = XLMems(hids=new_hids, count=new_count)
+    else:
+        new_mems = mems
+    return out, new_mems
+
+
+def compute_logits(params, cfg: XLConfig, hidden) -> jnp.ndarray:
+    """Tied-softmax logits (reference ProjectedAdaptiveLogSoftmax
+    _compute_logit with n_clusters==0; proj_adaptive_softmax.py:50-84)."""
+    w = params["word_emb"].astype(cfg.cdtype)
+    b = params["crit_bias"].astype(cfg.cdtype)
+    return hidden @ w.T + b
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+def forward_nll(params, cfg: XLConfig, data, target, reset_mems, mems,
+                status_vec=None, *, same_length=False, train=False, rng=None,
+                remat=False):
+    """Per-token NLL head (reference MemTransformerLM.forward,
+    mem_transformer.py:653-670). Returns (loss [q,b], new_mems)."""
+    hidden, new_mems = xl_forward(
+        params, cfg, data, mems, reset_mems, status_vec,
+        same_length=same_length, train=train, rng=rng, remat=remat)
+    logits = compute_logits(params, cfg, hidden)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    return nll, new_mems
+
+
+def forward_generate(params, cfg: XLConfig, data, mems, status_vec=None, *,
+                     same_length=False):
+    """Logits head for incremental decoding (reference forward_generate,
+    mem_transformer.py:578-600). Returns (logits [q,b,V], new_mems)."""
+    hidden, new_mems = xl_forward(
+        params, cfg, data, mems, None, status_vec,
+        same_length=same_length, train=False)
+    logits = compute_logits(params, cfg, hidden)
+    return logits, new_mems
+
+
+def gumbel_softmax_st(logits, temperature, rng, eps: float = 1e-20):
+    """Straight-through Gumbel-softmax (reference
+    mem_transformer.py:609-628): hard one-hot forward, soft gradient."""
+    u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
+    g = -jnp.log(-jnp.log(u + eps) + eps)
+    y = jax.nn.softmax((logits.astype(jnp.float32) + g) / temperature,
+                       axis=-1)
+    idx = jnp.argmax(y, axis=-1)
+    y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=y.dtype)
+    return jax.lax.stop_gradient(y_hard - y) + y
+
+
+def forward_generate_gumbel(params, cfg: XLConfig, data, temperature, mems,
+                            rng, status_vec=None, *, same_length=False,
+                            detach_mems=True):
+    """Gumbel-ST sampling head (reference forward_generate_gumbel,
+    mem_transformer.py:602-651).
+
+    Note on memory gradients: the reference toggles ``detach_mems_grad``
+    during GAN sampling (transformer_gan.py:295,511) but its ``_update_mems``
+    runs under ``torch.no_grad()`` and calls ``.detach()`` on BOTH branches
+    (mem_transformer.py:461-482), so gradients never actually flow through
+    memory there. ``detach_mems=True`` reproduces that; ``False`` enables
+    true backprop-through-memory as an opt-in improvement."""
+    hidden, new_mems = xl_forward(
+        params, cfg, data, mems, None, status_vec,
+        same_length=same_length, train=False, detach_mems=detach_mems)
+    logits = compute_logits(params, cfg, hidden)
+    onehot = gumbel_softmax_st(logits, temperature, rng)
+    return onehot, new_mems

@@ -1,0 +1,228 @@
+"""Optimizers and LR schedules.
+
+Counterparts of the reference optimizer stack:
+
+* ``scale_by_lamb`` — optax transform mirroring reference model/lamb.py:19-139
+  (LAMB with trust ratio = clamp(||w||, 0, 10) / (||adam_step|| + eps), NO
+  bias correction, weight decay folded into the adam step). The reference's
+  "JIT LAMB" TorchScript kernel (lamb.py:121-139) is subsumed: the whole
+  update is one fused XLA computation here.
+* ``make_optimizer`` — clip -> direction -> schedule, matching the reference
+  order clip_grad_norm before optimizer.step() (train.py:914-920).
+* schedules — cosine / inv_sqrt / dev_perf / constant with the reference's
+  exact step semantics (train.py:462-568,1097-1133): the multiplier at
+  optimizer update k equals the reference LR ratio after k scheduler.step()
+  calls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class LambState(NamedTuple):
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_lamb(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+                  weight_decay: float = 0.0, trust_clip: float = 10.0,
+                  adam: bool = False) -> optax.GradientTransformation:
+    """LAMB direction (reference model/lamb.py:52-118 semantics, no LR)."""
+
+    def init_fn(params):
+        return LambState(mu=jax.tree.map(jnp.zeros_like, params),
+                         nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params):
+        assert params is not None, "lamb requires params"
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+
+        def direction(m, v, p):
+            step = m / (jnp.sqrt(v) + eps)
+            if weight_decay != 0.0:
+                step = step + weight_decay * p
+            w_norm = jnp.clip(jnp.linalg.norm(p.astype(jnp.float32)),
+                              0.0, trust_clip)
+            a_norm = jnp.linalg.norm(step.astype(jnp.float32))
+            trust = jnp.where((w_norm == 0.0) | (a_norm == 0.0),
+                              1.0, w_norm / (a_norm + eps))
+            if adam:
+                trust = jnp.ones_like(trust)
+            return (trust * step).astype(p.dtype)
+
+        return jax.tree.map(direction, mu, nu, params), LambState(mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# Schedules: return an LR *multiplier*; update k (0-based) uses sched(k),
+# matching the reference where optimizer step k runs after k scheduler.step()
+# calls.
+# ---------------------------------------------------------------------------
+
+def inv_sqrt_schedule(base_lr: float, warmup_step: int, lr_min: float):
+    """Reference train.py:469-486: linear warmup then sqrt decay with an
+    lr_min floor. With warmup, multiplier(0) == 0 (LambdaLR semantics)."""
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_step == 0:
+            # lr_lambda(0) == 1.0; after that sqrt(0)/sqrt(step) == 0 so
+            # the floor dominates.
+            return jnp.where(step == 0, 1.0,
+                             jnp.maximum(0.0, lr_min / base_lr))
+        warm = step / warmup_step
+        decay = jnp.maximum(
+            (warmup_step ** 0.5) / jnp.sqrt(jnp.maximum(step, 1.0)),
+            lr_min / base_lr)
+        return jnp.where(step > warmup_step, decay, warm)
+
+    return sched
+
+
+def cosine_schedule(base_lr: float, max_step: int, lr_min: float,
+                    warmup_step: int):
+    """CosineAnnealingLR(T_max=max_step, eta_min=lr_min) with the manual
+    linear warmup that overrides it below warmup_step
+    (reference train.py:462-468,1097-1104)."""
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        cos = (lr_min + (base_lr - lr_min)
+               * 0.5 * (1 + jnp.cos(jnp.pi * step / max_step))) / base_lr
+        if warmup_step > 0:
+            return jnp.where(step < warmup_step, step / warmup_step, cos)
+        return cos
+
+    return sched
+
+
+def constant_schedule(warmup_step: int):
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_step > 0:
+            return jnp.where(step < warmup_step, step / warmup_step, 1.0)
+        return jnp.ones_like(step)
+
+    return sched
+
+
+def make_schedule(name: str, base_lr: float, max_step: int, lr_min: float,
+                  warmup_step: int):
+    """Dispatch mirroring reference scheduler setup (train.py:462-568).
+
+    dev_perf (ReduceLROnPlateau) applies its factor from the host loop via
+    ``PlateauTracker``; its in-step schedule is the warmup/constant part.
+    """
+    if name == "cosine":
+        return cosine_schedule(base_lr, max_step, lr_min, warmup_step)
+    if name == "inv_sqrt":
+        return inv_sqrt_schedule(base_lr, warmup_step, lr_min)
+    if name in ("constant", "dev_perf"):
+        return constant_schedule(warmup_step)
+    raise NotImplementedError(name)
+
+
+class PlateauTracker:
+    """Host-side ReduceLROnPlateau (reference dev_perf scheduler,
+    train.py:487-493,1328-1329): multiply LR by ``factor`` after
+    ``patience`` non-improving evals, floored at lr_min."""
+
+    def __init__(self, factor: float, patience: int, lr_min: float,
+                 base_lr: float):
+        self.factor = factor
+        self.patience = patience
+        self.lr_min = lr_min
+        self.base_lr = base_lr
+        self.best = float("inf")
+        self.num_bad = 0
+        self.multiplier = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.multiplier = max(self.multiplier * self.factor,
+                                      self.lr_min / self.base_lr)
+                self.num_bad = 0
+        return self.multiplier
+
+
+class ScaleByLrState(NamedTuple):
+    lr_scale: jnp.ndarray  # extra multiplier (dev_perf), default 1
+
+
+def scale_by_mutable_lr() -> optax.GradientTransformation:
+    """A runtime-settable LR multiplier slot (for dev_perf / debugging),
+    updated by replacing state.lr_scale between steps."""
+
+    def init_fn(params):
+        del params
+        return ScaleByLrState(lr_scale=jnp.ones((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        return (jax.tree.map(lambda u: u * state.lr_scale, updates), state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(optim_name: str, base_lr: float, schedule,
+                   clip: float, weight_decay: float = 0.0
+                   ) -> optax.GradientTransformation:
+    """clip -> direction -> schedule*base_lr -> mutable multiplier -> -1."""
+    name = optim_name.lower()
+    if name == "adam":
+        direction = optax.chain(
+            *([optax.add_decayed_weights(weight_decay)]
+              if weight_decay else []),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif name in ("lamb", "jitlamb"):
+        direction = scale_by_lamb(weight_decay=weight_decay)
+    elif name == "adamw":
+        # HF AdamW used for the BERT discriminator (train.py:435-439)
+        direction = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(weight_decay))
+    else:
+        raise NotImplementedError(optim_name)
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        direction,
+        optax.scale_by_schedule(schedule),
+        optax.scale(base_lr),
+        scale_by_mutable_lr(),
+        optax.scale(-1.0),
+    )
+
+
+def set_lr_multiplier(opt_state, multiplier: float):
+    """Set the mutable LR slot inside an optimizer state tree."""
+    mult = jnp.asarray(multiplier, jnp.float32)
+
+    def replace(s):
+        if isinstance(s, ScaleByLrState):
+            return ScaleByLrState(lr_scale=mult)
+        return s
+
+    return jax.tree_util.tree_map(
+        replace, opt_state,
+        is_leaf=lambda s: isinstance(s, ScaleByLrState))
+
+
+def global_grad_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
