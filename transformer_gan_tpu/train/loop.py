@@ -1,0 +1,323 @@
+"""Training driver: the counterpart of reference model/train.py.
+
+Owns work-dir/layout, seeding, iterators, the jitted step functions, the
+phase schedule (MLE every step; discriminator/generator GAN phases on their
+frequencies once DISCRIMINATOR.type != Null), logging (all-reduced tokens/s
+line, train.py:1135-1182), evaluation (train.py:1184-1215), and
+last/best/step checkpointing (train.py:1219-1272).
+
+TPU-native differences: one process drives a whole device mesh (the
+reference runs one process per GPU), steps are single fused XLA programs,
+scalars cross hosts via multihost allgather instead of NCCL all_reduce.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import is_null
+from ..data.dataset import MusicDataset
+from ..models import xl
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt
+from . import optim as topt
+from . import step as tstep
+from .losses import get_fixed_temperature
+
+
+class Trainer:
+    def __init__(self, cfg, data_dir: str, work_dir: str,
+                 restart: bool = False, debug: bool = False,
+                 save_all: bool = False, mesh=None):
+        self.cfg = cfg
+        self.debug = debug
+        self.save_all = save_all
+        self.restart = restart
+
+        # ---- work dir (reference train.py:156-166) ----
+        if not restart:
+            stamp = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+            work_dir = os.path.join(work_dir, stamp)
+        os.makedirs(work_dir, exist_ok=True)
+        self.work_dir = work_dir
+        if jax.process_index() == 0 and not restart:
+            # config.yml snapshot — generate.py requires it later
+            # (train.py:163-166, generate.py:91,114)
+            with open(os.path.join(work_dir, "config.yml"), "w") as f:
+                f.write(str(cfg))
+
+        from ..utils.logging import logging_config
+        logging_config(work_dir, f"train_rank{jax.process_index()}",
+                       console=jax.process_index() == 0)
+
+        # ---- devices / mesh ----
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.n_devices = np.prod([d for d in self.mesh.devices.shape])
+        self.n_processes = jax.process_count()
+        self.process_index = jax.process_index()
+
+        # ---- data (reference train.py:218-269) ----
+        seed = cfg.TRAIN.seed
+        np.random.seed(seed)
+        self.dataset = MusicDataset(data_dir, cfg)
+        self.vocab = self.dataset.vocab
+        local_seed = seed + self.process_index * 1000
+
+        assert cfg.TRAIN.batch_size % self.n_processes == 0
+        self.batch_size = cfg.TRAIN.batch_size // self.n_processes
+        assert self.batch_size % cfg.TRAIN.batch_chunk == 0
+        self.bsz_chunk = self.batch_size // cfg.TRAIN.batch_chunk
+
+        self.train_iter = self.dataset.get_iterator(
+            self.batch_size, cfg.TRAIN.tgt_length, split="train",
+            do_shuffle=True, seed=local_seed)
+        self.val_iter = self.dataset.eval_iterator(
+            cfg.EVALUATE.batch_size, cfg.EVALUATE.tgt_length, split="valid",
+            local_rank=self.process_index, world_size=self.n_processes)
+        self.test_iter = self.dataset.eval_iterator(
+            cfg.EVALUATE.batch_size, cfg.EVALUATE.tgt_length, split="test",
+            local_rank=self.process_index, world_size=self.n_processes)
+
+        self.has_gan = not is_null(cfg.DISCRIMINATOR.type)
+        if self.has_gan:
+            self.dis_iter = self.dataset.get_dis_iterator(
+                self.batch_size, cfg.DISCRIMINATOR.tgt_len, split="train",
+                do_shuffle=True, seed=local_seed)
+        else:
+            self.dis_iter = None
+            if cfg.DISCRIMINATOR.start_iter < cfg.TRAIN.max_step:
+                raise ValueError(
+                    "DISCRIMINATOR.start_iter < max_step but no "
+                    "discriminator configured (reference train.py:204-207)")
+
+        # ---- model / optimizer (reference train.py:366-459) ----
+        self.xcfg = xl.XLConfig.from_cfg(cfg, len(self.vocab),
+                                         self.vocab.vec_len)
+        params = xl.init_xl_params(self.xcfg, seed=seed)
+
+        # reference: per-rank lr = global lr / num_gpus (train.py:392)
+        self.local_lr = cfg.TRAIN.lr / max(1, int(self.n_devices))
+        schedule = topt.make_schedule(
+            cfg.TRAIN.scheduler, cfg.TRAIN.lr, cfg.TRAIN.max_step,
+            cfg.TRAIN.lr_min, cfg.TRAIN.warmup_step)
+        self.schedule = schedule
+        self.optimizer = topt.make_optimizer(
+            cfg.TRAIN.optim, self.local_lr, schedule, cfg.TRAIN.clip,
+            cfg.TRAIN.weight_decay)
+        self.plateau = topt.PlateauTracker(
+            cfg.TRAIN.decay_rate, cfg.TRAIN.patience, cfg.TRAIN.lr_min,
+            cfg.TRAIN.lr) if cfg.TRAIN.scheduler == "dev_perf" else None
+
+        self.state = tstep.init_train_state(
+            params, self.optimizer, self.xcfg, cfg.TRAIN.batch_chunk,
+            cfg.TRAIN.mem_length, self.bsz_chunk, seed)
+
+        # warm start from a previous run's generator (train.py:591-609)
+        if not is_null(cfg.TRAIN.load_from_previous) and not restart:
+            logging.info("Warm starting generator from %s",
+                         cfg.TRAIN.load_from_previous)
+            params = ckpt.load_generator_params(
+                cfg.TRAIN.load_from_previous, self.state.params)
+            self.state = self.state._replace(params=params)
+
+        self.train_step_fn = tstep.make_mle_train_step(
+            self.xcfg, self.optimizer, cfg.TRAIN.batch_chunk,
+            self.vocab.pad_id, use_mle=cfg.TRAIN.use_mle,
+            remat=cfg.TPU.remat, donate=cfg.TPU.donate)
+        self.eval_step_fn = tstep.make_eval_step(self.xcfg,
+                                                 self.vocab.pad_id)
+
+        self.gan = None
+        if self.has_gan:
+            from .gan_loop import GanPhases
+            self.gan = GanPhases(self, cfg)
+
+        self.train_step_num = 0
+        self.best_val_nll = np.inf
+
+        # ---- restart (reference train.py:614-646) ----
+        if restart:
+            self._restore_last()
+
+        n_params = xl.count_params(self.state.params)
+        logging.info("=" * 100)
+        logging.info("#total generator params = %d", n_params)
+        logging.info("work_dir = %s, devices = %s, processes = %d",
+                     self.work_dir, int(self.n_devices), self.n_processes)
+
+    # ------------------------------------------------------------------
+    def _ckpt_payload(self):
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+        if self.gan is not None:
+            payload.update(self.gan.ckpt_payload())
+        return payload
+
+    def _save(self, name: str, val_nll: float):
+        meta = {
+            "train_step": int(self.train_step_num),
+            "best_val_loss": float(val_nll),
+            "vocab": self.vocab.all_tokens,
+        }
+        path = ckpt.save_checkpoint(self.work_dir, name,
+                                    self._ckpt_payload(), meta)
+        logging.info("Saved checkpoint to %s", path)
+
+    def _restore_last(self):
+        path = os.path.join(self.work_dir, "checkpoint_last")
+        logging.info("Restarting from %s", path)
+        payload = ckpt.load_checkpoint(path, self._ckpt_payload())
+        meta = ckpt.load_metadata(path)
+        self.state = self.state._replace(
+            params=payload["params"], opt_state=payload["opt_state"])
+        if self.gan is not None:
+            self.gan.restore(payload)
+        self.train_step_num = int(meta.get("train_step", 0))
+        self.best_val_nll = float(meta.get("best_val_loss", np.inf))
+        # fast-forward the schedule counter
+        self.state = self.state._replace(
+            step=jnp.asarray(self.train_step_num, jnp.int32))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_iter, mode: str = "eval"):
+        """Masked-NLL evaluation over rank-sharded piece windows
+        (reference evaluate(), train.py:747-829)."""
+        cfg = self.cfg
+        total_token_num = 0
+        total_nll = 0.0
+        mems = xl.init_mems(self.xcfg, cfg.EVALUATE.mem_length,
+                            cfg.EVALUATE.batch_size)
+        for (data, target, reset_all, batch_token_num,
+             status_vec) in eval_iter():
+            if reset_all:
+                mems = tstep.reset_eval_mems(mems)
+            nll_sum, cnt, mems = self.eval_step_fn(
+                self.state.params, jnp.asarray(data), jnp.asarray(target),
+                mems)
+            total_nll += float(nll_sum)
+            total_token_num += int(cnt)
+        return total_token_num, total_nll
+
+    def _all_reduce_eval(self, token_num, nll):
+        reduced = pmesh.host_allreduce_sum(
+            np.asarray([token_num, nll / 1e4], np.float64))
+        return float(reduced[0]), float(reduced[1]) * 1e4
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        log_interval = cfg.TRAIN.log_interval
+        eval_interval = cfg.TRAIN.eval_interval
+
+        log_loss_w = 0.0
+        log_tokens = 0
+        log_grad_norm = 0.0
+        log_start = time.time()
+
+        train_stream = self.train_iter()
+        logging.info("Start training")
+
+        for (data, target, reset_mems, batch_token_num,
+             status_vec) in train_stream:
+            # temperature annealing (reference train.py:862-868)
+            if self.gan is not None:
+                beta = get_fixed_temperature(
+                    cfg.DISCRIMINATOR.beta_max, self.train_step_num,
+                    cfg.TRAIN.max_step, cfg.DISCRIMINATOR.adapt)
+                self.gan.temperature = 1.0 / beta
+
+            self.state, metrics = self.train_step_fn(
+                self.state, jnp.asarray(data), jnp.asarray(target),
+                jnp.asarray(reset_mems))
+
+            # GAN phases (reference train.py:924-1090)
+            if (self.gan is not None
+                    and self.train_step_num > cfg.DISCRIMINATOR.start_iter):
+                if self.train_step_num % cfg.DISCRIMINATOR.dis_loss_freq == 0:
+                    self.gan.dis_phase()
+                if self.train_step_num % cfg.DISCRIMINATOR.gen_loss_freq == 0:
+                    self.gan.gen_phase(self.train_step_num)
+
+            self.train_step_num += 1
+            log_loss_w += float(metrics["loss_weighted"])
+            log_tokens += int(metrics["tokens"])
+            log_grad_norm += float(metrics["grad_norm"])
+
+            if self.train_step_num % log_interval == 0:
+                reduced = pmesh.host_allreduce_sum(np.asarray(
+                    [log_loss_w, log_tokens, log_grad_norm], np.float64))
+                r_loss, r_tokens, r_gnorm = reduced
+                nll = r_loss / max(r_tokens, 1.0)
+                elapsed = time.time() - log_start
+                lr_mult = float(self.schedule(self.train_step_num))
+                gan_stats = (self.gan.pop_log_stats()
+                             if self.gan is not None else (0.0, 0.0))
+                if self.process_index == 0:
+                    logging.info(
+                        "Train Step %d/%d, lr=%f, tokens/s=%.1f, nll=%.4f,"
+                        " ppl=%.2f, grad norm=%.4f, gen_loss=%5.4f,"
+                        " dis_loss=%5.4f",
+                        self.train_step_num, cfg.TRAIN.max_step,
+                        self.local_lr * lr_mult,
+                        r_tokens / elapsed, nll,
+                        math.exp(min(nll, 50.0)),
+                        r_gnorm / (log_interval * max(1, self.n_devices)),
+                        gan_stats[0], gan_stats[1])
+                log_loss_w, log_tokens, log_grad_norm = 0.0, 0, 0.0
+                log_start = time.time()
+
+            if self.train_step_num % eval_interval == 0:
+                self._eval_and_checkpoint()
+
+            if self.train_step_num >= cfg.TRAIN.max_step:
+                logging.info("-" * 100)
+                logging.info("End of training")
+                break
+
+    # ------------------------------------------------------------------
+    def _eval_and_checkpoint(self):
+        cfg = self.cfg
+        eval_start = time.time()
+        tok, nll = self.evaluate(self.val_iter, mode="eval")
+        tok, nll = self._all_reduce_eval(tok, nll)
+        val_nll = nll / max(tok, 1.0)
+        if self.process_index == 0:
+            logging.info(
+                "Eval step %d, time=%.1fs, val nll=%.5f, val ppl=%.3f,"
+                " #evaluated tokens=%d", self.train_step_num,
+                time.time() - eval_start, val_nll,
+                math.exp(min(val_nll, 50.0)), int(tok))
+
+        if not self.debug and self.save_all:
+            self._save(f"checkpoint_{self.train_step_num}", val_nll)
+        if not self.debug and not self.save_all:
+            self._save("checkpoint_last", val_nll)
+
+        if val_nll < self.best_val_nll:
+            self.best_val_nll = val_nll
+            if not self.debug:
+                self._save("checkpoint_best", self.best_val_nll)
+            test_start = time.time()
+            ttok, tnll = self.evaluate(self.test_iter, mode="test")
+            ttok, tnll = self._all_reduce_eval(ttok, tnll)
+            test_nll = tnll / max(ttok, 1.0)
+            if self.process_index == 0:
+                logging.info(
+                    "Test step %d, time=%.1fs, test nll=%.5f,"
+                    " test ppl=%.3f, #evaluated tokens=%d",
+                    self.train_step_num, time.time() - test_start,
+                    test_nll, math.exp(min(test_nll, 50.0)), int(ttok))
+
+        if self.plateau is not None:
+            mult = self.plateau.step(val_nll)
+            self.state = self.state._replace(
+                opt_state=topt.set_lr_multiplier(self.state.opt_state, mult))

@@ -1,0 +1,148 @@
+"""Jitted training and evaluation steps.
+
+The reference's MLE micro-batch loop (train.py:874-921) — batch_chunk
+forwards/backwards with per-chunk XL memory, pad-masked mean, grad clip,
+optimizer step — compiles here into ONE XLA program: a ``lax.scan`` over
+micro-chunks accumulating gradients, followed by the fused optimizer update.
+Under a data mesh the batch axis is sharded and gradient all-reduce is
+GSPMD-implicit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import xl
+from .optim import global_grad_norm
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    mems: xl.XLMems      # chunk-stacked: hids [C, L+1, M, bsz_c, d], count [C]
+    rng: jax.Array
+    step: jnp.ndarray    # int32 scalar
+
+
+def init_train_state(params, optimizer, xcfg: xl.XLConfig, batch_chunk: int,
+                     mem_len: int, bsz_chunk: int, seed: int) -> TrainState:
+    mems1 = xl.init_mems(xcfg, mem_len, bsz_chunk)
+    mems = xl.XLMems(
+        hids=jnp.broadcast_to(
+            mems1.hids[None], (batch_chunk,) + mems1.hids.shape).copy(),
+        count=jnp.zeros((batch_chunk,), jnp.int32))
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        mems=mems,
+        rng=jax.random.PRNGKey(seed),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _chunk_batch(x, batch_chunk: int):
+    """[tgt, bsz] -> [chunk, tgt, bsz/chunk] (contiguous split like
+    torch.chunk along the batch axis; reference train.py:874-878)."""
+    tgt, bsz = x.shape[0], x.shape[1]
+    return x.reshape(tgt, batch_chunk, bsz // batch_chunk).swapaxes(0, 1)
+
+
+def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
+                        pad_id: int, use_mle: bool = True,
+                        remat: bool = False, donate: bool = True):
+    """Build the jitted MLE step.
+
+    Returns fn(state, data [tgt,bsz], target, reset [bsz]) ->
+    (new_state, metrics dict). Loss semantics match reference
+    train.py:888-904: per-chunk pad-masked mean scaled by 1/batch_chunk,
+    gradients summed over chunks.
+    """
+
+    def chunk_loss(params, data_c, target_c, reset_c, mems_c, rng_c):
+        nll, new_mems = xl.forward_nll(
+            params, xcfg, data_c, target_c, reset_c, mems_c,
+            train=True, rng=rng_c, remat=remat)
+        mask = (target_c != pad_id)
+        cnt = mask.sum()
+        mean = jnp.where(cnt > 0,
+                         jnp.where(mask, nll, 0.0).sum() / cnt, 0.0)
+        return mean / batch_chunk, (new_mems, cnt, mean)
+
+    grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
+
+    def train_step(state: TrainState, data, target, reset):
+        data_c = _chunk_batch(data, batch_chunk)
+        target_c = _chunk_batch(target, batch_chunk)
+        reset_c = reset.reshape(batch_chunk, -1)
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        rngs = jax.random.split(step_rng, batch_chunk)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            grads_acc, loss_w_sum, tok_sum = carry
+            d, t, r, mems_h, mems_c, rng_c = xs
+            mems = xl.XLMems(hids=mems_h, count=mems_c)
+            (_, (new_mems, cnt, mean)), grads = grad_fn(
+                state.params, d, t, r, mems, rng_c)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            loss_w_sum = loss_w_sum + mean * cnt
+            tok_sum = tok_sum + cnt
+            return (grads_acc, loss_w_sum, tok_sum), new_mems
+
+        (grads, loss_w, tokens), new_mems = jax.lax.scan(
+            body,
+            (zero_grads, jnp.zeros((), jnp.float32),
+             jnp.zeros((), jnp.int32)),
+            (data_c, target_c, reset_c, state.mems.hids, state.mems.count,
+             rngs))
+
+        if use_mle:
+            grad_norm = global_grad_norm(grads)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            grad_norm = jnp.zeros((), jnp.float32)
+            new_params, new_opt_state = state.params, state.opt_state
+
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, mems=new_mems,
+            rng=state.rng, step=state.step + 1)
+        metrics = {
+            "loss_weighted": loss_w,          # sum_c mean_c * cnt_c
+            "tokens": tokens,
+            "grad_norm": grad_norm,           # pre-clip global norm
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(xcfg: xl.XLConfig, pad_id: int):
+    """Jitted eval window: (params, data, target, mems) ->
+    (nll_sum, token_count, new_mems) with same_length masking
+    (reference evaluate(), train.py:747-779)."""
+
+    @jax.jit
+    def eval_step(params, data, target, mems):
+        nll, new_mems = xl.forward_nll(
+            params, xcfg, data, target, None, mems,
+            same_length=True, train=False)
+        mask = (target != pad_id)
+        nll_sum = jnp.where(mask, nll, 0.0).sum()
+        return nll_sum, mask.sum(), new_mems
+
+    return eval_step
+
+
+def reset_eval_mems(mems: xl.XLMems) -> xl.XLMems:
+    """Equivalent of mems=None at a new piece-batch (train.py:771-772):
+    zero the valid count so every slot is masked."""
+    return xl.XLMems(hids=mems.hids,
+                     count=jnp.zeros_like(mems.count))
