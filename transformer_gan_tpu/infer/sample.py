@@ -1,0 +1,180 @@
+"""Autoregressive sampling with cached XL memories.
+
+Counterpart of the reference inference hot loop (model/generate.py:177-304):
+prefix priming in one batch forward, then token-by-token decoding where the
+rolling XL memory is the KV cache. Here the entire per-token computation —
+1-token forward, BOS exclusion, repeated-TIME_SHIFT_100 suppression,
+temperature, top-k / nucleus / random filtering, categorical draw — is ONE
+jitted XLA program; the host loop only appends tokens (and applies the
+data-dependent duration-based stop, generate.py:207-214).
+
+``sample_scan`` additionally runs a whole fixed-length generation as a
+single ``lax.scan`` on device (no host round-trips), used for benchmarks
+and batched unconditional generation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models import xl
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Static sampling parameters (hashable, safe for jit closure)."""
+
+    technique: str = "topk"      # topk | nucleus | random
+    topk: int = 32
+    nucleus_p: float = 0.95
+    temperature: float = 0.95
+    exclude_bos: bool = True
+    num_empty_to_ignore: int = 0  # suppress TIME_SHIFT_100 after N repeats
+    empty_token: int = 101        # TIME_SHIFT_100 id
+
+    @classmethod
+    def from_cfg(cls, inference_cfg, empty_token: int) -> "SamplingConfig":
+        s = inference_cfg.SAMPLING
+        technique = s.technique
+        topk = 32
+        p = 0.95
+        if technique == "topk":
+            topk = int(s.threshold) if s.threshold else 32
+        elif technique == "nucleus":
+            p = float(s.threshold) if s.threshold else 0.95
+        elif technique == "random":
+            pass
+        else:
+            raise NotImplementedError(
+                "Other sampling strategies are yet to be implemented")
+        return cls(technique=technique, topk=topk, nucleus_p=p,
+                   temperature=float(s.temperature),
+                   exclude_bos=bool(inference_cfg.INPUT.exclude_bos_token),
+                   num_empty_to_ignore=int(
+                       inference_cfg.INPUT.num_empty_tokens_to_ignore),
+                   empty_token=empty_token)
+
+
+NEG = jnp.float32(-1e30)
+
+
+def _filter_and_sample(logits, scfg: SamplingConfig, empty_run, rng):
+    """Logit surgery + filtering + draw for one [V] logit row
+    (reference generate.py:230-303)."""
+    l = logits.astype(jnp.float32)
+    if scfg.exclude_bos:
+        l = l.at[0].set(NEG)
+    if scfg.num_empty_to_ignore > 0:
+        suppress = empty_run >= scfg.num_empty_to_ignore
+        l = jnp.where(
+            suppress & (jnp.arange(l.shape[0]) == scfg.empty_token), NEG, l)
+
+    if scfg.temperature == 0:
+        return jnp.argmax(l).astype(jnp.int32)
+
+    l = l / scfg.temperature
+    probs = jax.nn.softmax(l)
+
+    if scfg.technique == "topk":
+        kth = jax.lax.top_k(probs, scfg.topk)[0][-1]
+        probs = jnp.where(probs >= kth, probs, 0.0)
+    elif scfg.technique == "nucleus":
+        sorted_probs = jnp.sort(probs)[::-1]
+        csum = jnp.cumsum(sorted_probs)
+        # keep tokens while cumulative prob (exclusive) < p, always >= 1
+        rank = jnp.argsort(jnp.argsort(-probs))
+        keep_sorted = jnp.concatenate(
+            [jnp.array([True]), csum[:-1] < scfg.nucleus_p])
+        probs = jnp.where(keep_sorted[rank], probs, 0.0)
+    elif scfg.technique == "random":
+        pass
+
+    return jax.random.categorical(
+        rng, jnp.log(jnp.maximum(probs, 1e-38))).astype(jnp.int32)
+
+
+def make_decode_step(xcfg: xl.XLConfig, scfg: SamplingConfig):
+    """(params, mems, token [bsz], empty_run [bsz], rng) ->
+    (next_token [bsz], new_mems, new_empty_run). One jitted program."""
+
+    @jax.jit
+    def step(params, mems, token, empty_run, rng):
+        logits, new_mems = xl.forward_generate(
+            params, xcfg, token[None, :], mems, same_length=True)
+        rngs = jax.random.split(rng, token.shape[0])
+        next_tok = jax.vmap(
+            lambda lg, er, r: _filter_and_sample(lg, scfg, er, r)
+        )(logits[-1], empty_run, rngs)
+        new_empty = jnp.where(next_tok == scfg.empty_token,
+                              empty_run + 1, 0)
+        return next_tok, new_mems, new_empty
+
+    return step
+
+
+def make_prime_step(xcfg: xl.XLConfig):
+    """Batch prefix forward filling the XL memory
+    (reference generate.py:189-200)."""
+
+    @jax.jit
+    def prime(params, context, mems):
+        logits, new_mems = xl.forward_generate(
+            params, xcfg, context, mems, same_length=True)
+        return logits, new_mems
+
+    return prime
+
+
+def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
+                first_token, mems: xl.XLMems, length: int, rng):
+    """Fully on-device generation of ``length`` tokens via lax.scan.
+
+    first_token: [bsz] int32. Returns (tokens [length, bsz], final mems).
+    """
+
+    def body(carry, step_rng):
+        token, mems, empty_run = carry
+        logits, new_mems = xl.forward_generate(
+            params, xcfg, token[None, :], mems, same_length=True)
+        rngs = jax.random.split(step_rng, token.shape[0])
+        next_tok = jax.vmap(
+            lambda lg, er, r: _filter_and_sample(lg, scfg, er, r)
+        )(logits[-1], empty_run, rngs)
+        new_empty = jnp.where(next_tok == scfg.empty_token,
+                              empty_run + 1, 0)
+        return (next_tok, new_mems, new_empty), next_tok
+
+    rngs = jax.random.split(rng, length)
+    empty0 = jnp.zeros_like(first_token)
+    (_, final_mems, _), tokens = jax.lax.scan(
+        body, (first_token, mems, empty0), rngs)
+    return tokens, final_mems
+
+
+sample_scan_jit = jax.jit(
+    sample_scan,
+    static_argnames=("xcfg", "scfg", "length"))
+
+
+@functools.partial(jax.jit, static_argnames=("xcfg", "temperature",
+                                             "seq_len"))
+def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
+                           seq_len: int, first_token, mems: xl.XLMems, rng):
+    """Greedy-argmax gumbel generation used by the quality metrics
+    (reference generate_tokens, train.py:694-744): tgt_len=1 incremental
+    loop with mem_len=seq_len, argmax of the gumbel one-hots."""
+
+    def body(carry, step_rng):
+        token, mems = carry
+        onehot, new_mems = xl.forward_generate_gumbel(
+            params, xcfg, token[None, :], temperature, mems, step_rng)
+        next_tok = jnp.argmax(onehot[0], axis=-1).astype(jnp.int32)
+        return (next_tok, new_mems), next_tok
+
+    rngs = jax.random.split(rng, seq_len - 1)
+    (_, final_mems), tokens = jax.lax.scan(body, (first_token, mems), rngs)
+    return jnp.concatenate([first_token[None, :], tokens], axis=0)
