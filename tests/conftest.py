@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This image's sitecustomize force-registers a TPU backend that wins over
+# JAX_PLATFORMS=cpu; pin the platform explicitly so tests run on the
+# 8-virtual-device CPU mesh (and never contend for the single real chip).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

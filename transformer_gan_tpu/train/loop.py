@@ -235,9 +235,12 @@ class Trainer:
                     cfg.TRAIN.max_step, cfg.DISCRIMINATOR.adapt)
                 self.gan.temperature = 1.0 / beta
 
+            bc = cfg.TRAIN.batch_chunk
             self.state, metrics = self.train_step_fn(
-                self.state, jnp.asarray(data), jnp.asarray(target),
-                jnp.asarray(reset_mems))
+                self.state,
+                jnp.asarray(tstep.chunk_batch(data, bc)),
+                jnp.asarray(tstep.chunk_batch(target, bc)),
+                jnp.asarray(tstep.chunk_rows(reset_mems, bc)))
 
             # GAN phases (reference train.py:924-1090)
             if (self.gan is not None

@@ -45,11 +45,21 @@ def init_train_state(params, optimizer, xcfg: xl.XLConfig, batch_chunk: int,
     )
 
 
-def _chunk_batch(x, batch_chunk: int):
+def chunk_batch(x, batch_chunk: int):
     """[tgt, bsz] -> [chunk, tgt, bsz/chunk] (contiguous split like
-    torch.chunk along the batch axis; reference train.py:874-878)."""
+    torch.chunk along the batch axis; reference train.py:874-878).
+
+    Done on HOST before device_put: the micro-chunk axis must be the outer
+    axis so that each chunk's batch rows span every device of the data mesh
+    (chunking a device-sharded batch axis inside the step would leave each
+    chunk on a fraction of the devices)."""
     tgt, bsz = x.shape[0], x.shape[1]
     return x.reshape(tgt, batch_chunk, bsz // batch_chunk).swapaxes(0, 1)
+
+
+def chunk_rows(x, batch_chunk: int):
+    """[bsz] per-row flags -> [chunk, bsz/chunk]."""
+    return x.reshape(batch_chunk, -1)
 
 
 def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
@@ -57,8 +67,9 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
                         remat: bool = False, donate: bool = True):
     """Build the jitted MLE step.
 
-    Returns fn(state, data [tgt,bsz], target, reset [bsz]) ->
-    (new_state, metrics dict). Loss semantics match reference
+    Returns fn(state, data [C,tgt,bsz_c], target [C,tgt,bsz_c],
+    reset [C,bsz_c]) -> (new_state, metrics dict); inputs pre-chunked on
+    host with ``chunk_batch``/``chunk_rows``. Loss semantics match reference
     train.py:888-904: per-chunk pad-masked mean scaled by 1/batch_chunk,
     gradients summed over chunks.
     """
@@ -75,10 +86,7 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
 
     grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
 
-    def train_step(state: TrainState, data, target, reset):
-        data_c = _chunk_batch(data, batch_chunk)
-        target_c = _chunk_batch(target, batch_chunk)
-        reset_c = reset.reshape(batch_chunk, -1)
+    def train_step(state: TrainState, data_c, target_c, reset_c):
         step_rng = jax.random.fold_in(state.rng, state.step)
         rngs = jax.random.split(step_rng, batch_chunk)
 
