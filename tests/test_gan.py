@@ -1,0 +1,252 @@
+"""GAN stack tests: loss zoo vs torch reference, discriminator parity vs
+torch RelGAN_D, BERT parity vs HuggingFace, sampling-scan gradient flow."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from transformer_gan_tpu.models import bert as bert_mod  # noqa: E402
+from transformer_gan_tpu.models import discriminator as disc_mod  # noqa: E402
+from transformer_gan_tpu.models import gan as gan_mod  # noqa: E402
+from transformer_gan_tpu.models import xl  # noqa: E402
+from transformer_gan_tpu.train import losses as tl  # noqa: E402
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "model"))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference unavailable")
+@pytest.mark.parametrize("loss_type",
+                         ["standard", "JS", "KL", "wgan", "rsgan", "ppo"])
+def test_loss_zoo_matches_reference(loss_type):
+    import torch
+    sys.path.insert(0, os.path.join(REF, "model"))
+    sys.path.insert(0, os.path.join(REF, "model", "utils"))
+    from helpers import get_losses as ref_get_losses
+
+    rng = np.random.RandomState(0)
+    dr = rng.randn(16).astype(np.float32)
+    df = rng.randn(16).astype(np.float32)
+    g_ref, d_ref = ref_get_losses(torch.from_numpy(dr),
+                                  torch.from_numpy(df), loss_type)
+    g, d = tl.get_losses(jnp.asarray(dr), jnp.asarray(df), loss_type)
+    np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(d), float(d_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_hinge_tv_work_here():
+    # The reference's hinge/tv branches crash (helpers.py:110-125);
+    # ours must produce the textbook values.
+    dr = jnp.asarray([0.5, -2.0])
+    df = jnp.asarray([1.5, -0.25])
+    g, d = tl.get_losses(dr, df, "hinge")
+    np.testing.assert_allclose(
+        float(d), np.mean([0.5, 3.0]) + np.mean([2.5, 0.75]), rtol=1e-6)
+    np.testing.assert_allclose(float(g), -float(df.mean()), rtol=1e-6)
+    g, d = tl.get_losses(dr, df, "tv")
+    np.testing.assert_allclose(
+        float(d), float(jnp.mean(jnp.tanh(df) - jnp.tanh(dr))), rtol=1e-6)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference unavailable")
+def test_relgan_discriminator_parity_with_torch():
+    import torch
+    import transformers
+    if not hasattr(transformers, "AdamW"):
+        # installed transformers dropped AdamW; the reference imports it
+        transformers.AdamW = torch.optim.AdamW
+    sys.path.insert(0, os.path.join(REF, "model"))
+    sys.path.insert(0, os.path.join(REF, "model", "utils"))
+    from transformer_gan import RelGAN_D
+
+    from transformer_gan_tpu.config import get_default_cfg_training
+    cfg = get_default_cfg_training()
+
+    rcfg = disc_mod.RelganConfig(embed_dim=64, num_rep=64, vocab_size=310,
+                                 init="uniform")
+    params = disc_mod.init_relgan_params(rcfg, seed=3)
+
+    ref = RelGAN_D(embed_dim=64, max_seq_len=16, num_rep=64, vocab_size=310,
+                   padding_idx=1, gpu=False, cfg=cfg)
+    ref.eval()
+    sd = ref.state_dict()
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x))
+
+    sd["embeddings.weight"] = t(params["embeddings"]).T.contiguous()
+    for i, conv in enumerate(params["convs"]):
+        sd[f"convs.{i}.weight"] = t(conv["w"])
+        sd[f"convs.{i}.bias"] = t(conv["b"])
+    sd["highway.weight"] = t(params["highway_w"]).T.contiguous()
+    sd["highway.bias"] = t(params["highway_b"])
+    sd["feature2out.weight"] = t(params["feature2out_w"]).T.contiguous()
+    sd["feature2out.bias"] = t(params["feature2out_b"])
+    sd["out2logits.weight"] = t(params["out2logits_w"]).T.contiguous()
+    sd["out2logits.bias"] = t(params["out2logits_b"])
+    ref.load_state_dict(sd)
+
+    rng = np.random.RandomState(1)
+    inp = rng.dirichlet(np.ones(310), size=(4, 16)).astype(np.float32)
+    ours = disc_mod.relgan_logits(params, rcfg, jnp.asarray(inp))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(inp))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bert_parity_with_huggingface():
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    cfg = bert_mod.BertConfig(vocab_size=311, hidden_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              intermediate_size=128)
+    params = bert_mod.init_bert_params(cfg, seed=5)
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=311, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, num_labels=2)
+    hf = transformers.BertForSequenceClassification(hf_cfg)
+    hf.eval()
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x))
+
+    sd = hf.state_dict()
+    sd["bert.embeddings.word_embeddings.weight"] = t(
+        params["word_embeddings"])
+    sd["bert.embeddings.position_embeddings.weight"] = t(
+        params["position_embeddings"])
+    sd["bert.embeddings.token_type_embeddings.weight"] = t(
+        params["token_type_embeddings"])
+    sd["bert.embeddings.LayerNorm.weight"] = t(params["emb_ln_scale"])
+    sd["bert.embeddings.LayerNorm.bias"] = t(params["emb_ln_bias"])
+    for i, lyr in enumerate(params["layers"]):
+        p = f"bert.encoder.layer.{i}."
+        sd[p + "attention.self.query.weight"] = t(lyr["q_w"]).T.contiguous()
+        sd[p + "attention.self.query.bias"] = t(lyr["q_b"])
+        sd[p + "attention.self.key.weight"] = t(lyr["k_w"]).T.contiguous()
+        sd[p + "attention.self.key.bias"] = t(lyr["k_b"])
+        sd[p + "attention.self.value.weight"] = t(lyr["v_w"]).T.contiguous()
+        sd[p + "attention.self.value.bias"] = t(lyr["v_b"])
+        sd[p + "attention.output.dense.weight"] = t(
+            lyr["attn_out_w"]).T.contiguous()
+        sd[p + "attention.output.dense.bias"] = t(lyr["attn_out_b"])
+        sd[p + "attention.output.LayerNorm.weight"] = t(
+            lyr["attn_ln_scale"])
+        sd[p + "attention.output.LayerNorm.bias"] = t(lyr["attn_ln_bias"])
+        sd[p + "intermediate.dense.weight"] = t(lyr["ffn_w1"]).T.contiguous()
+        sd[p + "intermediate.dense.bias"] = t(lyr["ffn_b1"])
+        sd[p + "output.dense.weight"] = t(lyr["ffn_w2"]).T.contiguous()
+        sd[p + "output.dense.bias"] = t(lyr["ffn_b2"])
+        sd[p + "output.LayerNorm.weight"] = t(lyr["ffn_ln_scale"])
+        sd[p + "output.LayerNorm.bias"] = t(lyr["ffn_ln_bias"])
+    sd["bert.pooler.dense.weight"] = t(params["pooler_w"]).T.contiguous()
+    sd["bert.pooler.dense.bias"] = t(params["pooler_b"])
+    sd["classifier.weight"] = t(params["classifier_w"]).T.contiguous()
+    sd["classifier.bias"] = t(params["classifier_b"])
+    hf.load_state_dict(sd)
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 311, (3, 20))
+    hidden = bert_mod.bert_encode(params, cfg, input_ids=jnp.asarray(ids))
+    ours = bert_mod.bert_cls_logits(params, cfg, hidden)
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(ids)).logits
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def _tiny_setup():
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, n_token=310)
+    gen_params = xl.init_xl_params(xcfg, seed=0)
+    gcfg = gan_mod.GanConfig(dis_type="cnn", loss_type="rsgan", tgt_len=12,
+                             mem_len=12, context_len=3, sample_chunks_mem=2,
+                             n_token=310)
+    rcfg = disc_mod.RelganConfig(embed_dim=16, num_rep=4, vocab_size=310)
+    dis_params = disc_mod.init_relgan_params(rcfg, seed=1)
+    return xcfg, gen_params, gcfg, rcfg, dis_params
+
+
+def test_sample_fake_chunks_shapes_and_context():
+    xcfg, gen_params, gcfg, _, _ = _tiny_setup()
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(2, 310, (12, 3)))
+    chunks = gan_mod.sample_fake_chunks(gen_params, xcfg, gcfg, data, 1.0,
+                                        jax.random.PRNGKey(0))
+    assert len(chunks) == 2
+    for fake, real in chunks:
+        assert fake.shape == (6, 3, 310)
+        assert real.shape == (6, 3)
+        arr = np.asarray(fake)
+        np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-5)
+    # chunk 0 head = real context one-hots
+    fake0 = np.asarray(chunks[0][0])
+    assert (fake0[:3].argmax(-1) == np.asarray(data[:3])).all()
+
+
+def test_gen_gradients_flow_through_sampling():
+    xcfg, gen_params, gcfg, rcfg, dis_params = _tiny_setup()
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(2, 310, (12, 3)))
+
+    def loss_fn(gp):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            gp, dis_params, rcfg, xcfg, gcfg, data, 1.0,
+            jax.random.PRNGKey(1), train_dis=False)
+        return losses["gen_loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(gen_params)
+    gnorm = float(sum(jnp.sum(jnp.abs(g))
+                      for g in jax.tree_util.tree_leaves(grads)))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dis_gradients_do_not_touch_generator():
+    xcfg, gen_params, gcfg, rcfg, dis_params = _tiny_setup()
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(2, 310, (12, 3)))
+
+    def loss_fn(dp, gp):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            gp, dp, rcfg, xcfg, gcfg, data, 1.0, jax.random.PRNGKey(1),
+            train_dis=True)
+        return losses["dis_loss"]
+
+    gd, gg = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(dis_params,
+                                                        gen_params)
+    dnorm = float(sum(jnp.sum(jnp.abs(g))
+                      for g in jax.tree_util.tree_leaves(gd)))
+    gnorm = float(sum(jnp.sum(jnp.abs(g))
+                      for g in jax.tree_util.tree_leaves(gg)))
+    assert dnorm > 0
+    assert gnorm == 0.0  # fake detached for the dis phase
+
+
+def test_gradient_penalty_positive_and_finite():
+    xcfg, gen_params, gcfg, rcfg, dis_params = _tiny_setup()
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randint(2, 310, (6, 3)))
+    fake = jax.nn.one_hot(jnp.asarray(rng.randint(2, 310, (6, 3))), 310)
+    gp = gan_mod.chunk_gradient_penalty(dis_params, rcfg, gcfg, real, fake,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(float(gp)) and float(gp) >= 0
+
+
+def test_temperature_schedules_match_reference():
+    if not HAS_REF:
+        pytest.skip("reference unavailable")
+    sys.path.insert(0, os.path.join(REF, "model", "utils"))
+    from helpers import get_fixed_temperature as ref_temp
+    for adapt in ["no", "lin", "exp", "log", "sigmoid", "quad", "sqrt"]:
+        for i in [0, 10, 99]:
+            ours = tl.get_fixed_temperature(100.0, i, 100, adapt)
+            theirs = ref_temp(100.0, i, 100, adapt)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-9)

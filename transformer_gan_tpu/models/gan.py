@@ -1,0 +1,354 @@
+"""Transformer-GAN composite: Gumbel-ST sampling + discriminator losses.
+
+Counterpart of reference ``TransformerGAN.forward`` for the
+gen/dis/classifier branches (model/transformer_gan.py:232-533). The
+reference's per-token Python sampling loop with per-chunk ``.backward()``
+becomes: a ``lax.scan`` over decode steps producing the straight-through
+one-hot sequence (gradients flow through the chain of soft samples), one
+loss per chunk, and ``jax.grad`` once per chunk — all inside a single
+jitted phase step (built in train/gan_loop.py).
+
+Reproduced semantics:
+* context priming with no gradient (transformer_gan.py:279-290),
+* chunk 0 embeds the real context one-hots at its head; later chunks seed
+  from the argmax-detached last sample (:302-347,506-508),
+* ``truncate_backprop`` detaches every step's input (:308-320),
+* memory is detached across steps (the reference's _update_mems detaches
+  unconditionally — see models/xl.py note),
+* discriminator dispatch: BERT CLS-logit scoring over embedded one-hots
+  with a zero [MASK] column (:391-426), or RelGAN-CNN over vocab
+  distributions (:447-470),
+* WGAN-GP on one-hot interpolates (:203-230), PPO ratio clipping with the
+  auxiliary classifier D (:376-389,418-426).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..train.losses import get_losses, gradient_penalty
+from . import bert as bert_mod
+from . import discriminator as disc_mod
+from . import xl
+
+
+@dataclasses.dataclass(frozen=True)
+class GanConfig:
+    """Static GAN-phase parameters (from cfg.DISCRIMINATOR / cfg.PPO)."""
+
+    dis_type: str = "cnn"            # "bert" | "cnn"
+    loss_type: str = "rsgan"
+    tgt_len: int = 64
+    mem_len: int = 64
+    context_len: int = 5
+    sample_chunks_mem: int = 1
+    truncate_backprop: bool = False
+    gen_loss_factor: float = 30.0
+    dis_loss_factor: float = 1.0
+    batch_chunk: int = 1
+    ppo: bool = False
+    ppo_dis_type: str = "bert"
+    clip_param: float = 0.4
+    n_token: int = 310
+
+    @property
+    def sample_len(self) -> int:
+        return self.tgt_len // self.sample_chunks_mem
+
+    @property
+    def has_gp(self) -> bool:
+        return "gp" in self.loss_type
+
+    @classmethod
+    def from_cfg(cls, cfg, n_token: int) -> "GanConfig":
+        d = cfg.DISCRIMINATOR
+        loss_type = (d.BERT.loss_type if d.type == "bert"
+                     else d.CNN.loss_type)
+        return cls(
+            dis_type=d.type, loss_type=loss_type, tgt_len=d.tgt_len,
+            mem_len=d.mem_len, context_len=d.context_len,
+            sample_chunks_mem=d.sample_chunks_mem,
+            truncate_backprop=d.truncate_backprop,
+            gen_loss_factor=float(d.gen_loss_factor),
+            dis_loss_factor=float(d.dis_loss_factor),
+            batch_chunk=d.batch_chunk,
+            ppo="ppo" in loss_type,
+            ppo_dis_type=cfg.PPO.dis_D_type,
+            clip_param=cfg.PPO.clip_param,
+            n_token=n_token,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def prime_context(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, data):
+    """No-grad context prime: fill sampling memory with the first
+    context_len-1 real tokens (transformer_gan.py:279-290)."""
+    bsz = data.shape[1]
+    mems = xl.init_mems(xcfg, gcfg.mem_len, bsz)
+    if gcfg.context_len > 1:
+        context = data[:gcfg.context_len - 1]
+        _, mems = xl.forward_generate(
+            jax.lax.stop_gradient(gen_params), xcfg, context, mems)
+        mems = jax.lax.stop_gradient(mems)
+    return mems
+
+
+def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
+             mems, prev_onehot, detach_flags, rng):
+    """Sequential gumbel-ST sampling of len(detach_flags) tokens.
+
+    prev_onehot: [bsz, V] seed sample; detach_flags[t] True stops gradient
+    through the input at step t (chunk starts / truncate_backprop).
+    Returns (samples [n, bsz, V], mems, last_onehot)."""
+    n_steps = detach_flags.shape[0]
+    rngs = jax.random.split(rng, n_steps)
+
+    def body(carry, xs):
+        prev, mems = carry
+        detach, rng_t = xs
+        hard = jax.lax.stop_gradient(
+            jax.nn.one_hot(jnp.argmax(prev, -1), gcfg.n_token,
+                           dtype=prev.dtype))
+        inp = jnp.where(detach, hard, prev)
+        onehot, mems = xl.forward_generate_gumbel(
+            gen_params, xcfg, inp[None], temperature, mems, rng_t,
+            detach_mems=True)
+        return (onehot[0], mems), onehot[0]
+
+    (last, mems), samples = jax.lax.scan(
+        body, (prev_onehot, mems), (detach_flags, rngs))
+    return samples, mems, last
+
+
+def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
+                       data, temperature, rng):
+    """Produce the per-chunk fake sequences for one GAN batch.
+
+    data: [tgt_len, bsz] real ids. Returns a list of
+    (fake_chunk [sample_len, bsz, V], real_chunk_ids [sample_len, bsz]),
+    chunk boundaries detached (transformer_gan.py:299-347,506-508).
+    """
+    bsz = data.shape[1]
+    V = gcfg.n_token
+    mems = prime_context(gen_params, xcfg, gcfg, data)
+    chunks = []
+    rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
+
+    # chunk 0: real context one-hots at the head, then generation
+    ctx = gcfg.context_len
+    real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
+    n_gen0 = gcfg.sample_len - ctx
+    flags0 = jnp.full((n_gen0,), bool(gcfg.truncate_backprop))
+    samples0, mems, last = gen_scan(
+        gen_params, xcfg, gcfg, temperature, mems,
+        real_ctx[-1], flags0, rngs[0])
+    fake0 = jnp.concatenate([real_ctx, samples0], axis=0)
+    chunks.append((fake0, data[0:gcfg.sample_len]))
+
+    for c in range(1, gcfg.sample_chunks_mem):
+        mems = jax.lax.stop_gradient(mems)
+        flags = jnp.concatenate([
+            jnp.array([True]),
+            jnp.full((gcfg.sample_len - 1,), bool(gcfg.truncate_backprop))])
+        samples, mems, last = gen_scan(
+            gen_params, xcfg, gcfg, temperature, mems,
+            jax.lax.stop_gradient(last), flags, rngs[c])
+        start = c * gcfg.sample_len
+        chunks.append((samples, data[start:start + gcfg.sample_len]))
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# Discriminator scoring
+# ---------------------------------------------------------------------------
+
+def score_chunk(dis_params, dis_cfg, gcfg: GanConfig, real_ids, fake_soft,
+                *, train: bool = False, rng=None):
+    """(d_out_real, d_out_fake) for one chunk.
+
+    real_ids: [len, bsz] ids; fake_soft: [len, bsz, V] one-hot/soft.
+    """
+    if gcfg.dis_type == "bert":
+        emb_matrix = dis_params["word_embeddings"]  # [V+1, h]
+        real_bt = real_ids.T                        # [bsz, len]
+        fake_bt = fake_soft.transpose(1, 0, 2)      # [bsz, len, V]
+        # zero column for [MASK] (transformer_gan.py:398-400)
+        fake_bt = jnp.concatenate(
+            [fake_bt, jnp.zeros(fake_bt.shape[:-1] + (1,),
+                                fake_bt.dtype)], -1)
+        emb_real = emb_matrix[real_bt]
+        emb_fake = jnp.einsum("ve,bcv->bce", emb_matrix, fake_bt)
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        d_real = bert_mod.bert_discriminator_score(
+            dis_params, dis_cfg, emb_real, train=train, rng=r1)
+        d_fake = bert_mod.bert_discriminator_score(
+            dis_params, dis_cfg, emb_fake, train=train, rng=r2)
+        return d_real, d_fake
+    elif gcfg.dis_type == "cnn":
+        real_soft = jax.nn.one_hot(real_ids.T, gcfg.n_token,
+                                   dtype=fake_soft.dtype)
+        fake_bt = fake_soft.transpose(1, 0, 2)
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        d_real = disc_mod.relgan_logits(dis_params, dis_cfg, real_soft,
+                                        train=train, rng=r1)
+        d_fake = disc_mod.relgan_logits(dis_params, dis_cfg, fake_bt,
+                                        train=train, rng=r2)
+        return d_real, d_fake
+    raise NotImplementedError(gcfg.dis_type)
+
+
+def chunk_gradient_penalty(dis_params, dis_cfg, gcfg: GanConfig, real_ids,
+                           fake_soft, rng):
+    """WGAN-GP on one-hot interpolates (transformer_gan.py:203-230,
+    429-434)."""
+    if gcfg.dis_type == "bert":
+        real = jax.nn.one_hot(real_ids.T, gcfg.n_token + 1,
+                              dtype=jnp.float32)
+        fake = fake_soft.transpose(1, 0, 2)
+        fake = jnp.concatenate(
+            [fake, jnp.zeros(fake.shape[:-1] + (1,), fake.dtype)], -1)
+        emb_matrix = dis_params["word_embeddings"]
+
+        def disc_fn(x):
+            emb = jnp.einsum("ve,bcv->bce", emb_matrix, x)
+            return bert_mod.bert_discriminator_score(dis_params, dis_cfg,
+                                                     emb)
+    else:
+        real = jax.nn.one_hot(real_ids.T, gcfg.n_token, dtype=jnp.float32)
+        fake = fake_soft.transpose(1, 0, 2)
+
+        def disc_fn(x):
+            return disc_mod.relgan_logits(dis_params, dis_cfg, x)
+
+    return gradient_penalty(disc_fn, real, jax.lax.stop_gradient(fake), rng)
+
+
+# ---------------------------------------------------------------------------
+# PPO auxiliary classifier (reference dis_D, transformer_gan.py:184-201)
+# ---------------------------------------------------------------------------
+
+def dis_D_forward(disD_params, disD_cfg, gcfg: GanConfig, chunk):
+    """chunk: [len, bsz] ids or [len, bsz, V] soft -> scores [bsz]."""
+    data = (chunk.T if chunk.ndim == 2
+            else chunk.transpose(1, 0, 2))
+    if gcfg.ppo_dis_type == "bert":
+        emb_matrix = disD_params["word_embeddings"]
+        if data.ndim == 3:
+            data = jnp.argmax(data, axis=-1)
+        emb = emb_matrix[data]
+        return bert_mod.bert_discriminator_score(disD_params, disD_cfg, emb)
+    elif gcfg.ppo_dis_type == "cnn":
+        if data.ndim == 2:
+            data = jax.nn.one_hot(data, gcfg.n_token, dtype=jnp.float32)
+        return disc_mod.relgan_logits(disD_params, disD_cfg, data)
+    raise NotImplementedError(gcfg.ppo_dis_type)
+
+
+def ppo_surrogate(disD_params, disD_cfg, gcfg: GanConfig, fake_chunk,
+                  d_out_fake, P0):
+    """PPO-clipped surrogate replacing d_out_fake for the generator loss
+    (transformer_gan.py:376-389,418-426)."""
+    D1 = jax.nn.sigmoid(dis_D_forward(disD_params, disD_cfg, gcfg,
+                                      fake_chunk))
+    P1 = 1.0 - D1
+    ratio = P1 / jnp.clip(D1 * P0, a_min=1e-7)
+    ratio_clipped = jnp.clip(ratio, 1.0 - gcfg.clip_param,
+                             1.0 + gcfg.clip_param)
+    if d_out_fake.shape[0] != ratio.shape[0]:
+        # Main D emits num_rep scores per row (RelGAN) while dis_D emits one:
+        # tile the per-row ratio. (The reference would crash here —
+        # ratio [bsz] * d_out_fake [bsz*num_rep]; PPO was only exercised
+        # with the BERT main D.)
+        rep = d_out_fake.shape[0] // ratio.shape[0]
+        ratio = jnp.repeat(ratio, rep)
+        ratio_clipped = jnp.repeat(ratio_clipped, rep)
+    surr1 = ratio * d_out_fake
+    surr2 = ratio_clipped * d_out_fake
+    return jnp.where(d_out_fake > 0, jnp.minimum(surr1, surr2),
+                     jnp.maximum(surr1, surr2))
+
+
+def compute_P0(disD_params, disD_cfg, gcfg: GanConfig, fake_chunk):
+    """P0 snapshot = (1 - D0)/D0 under no grad (transformer_gan.py:352-355,
+    378-381)."""
+    D0 = jax.nn.sigmoid(dis_D_forward(
+        jax.lax.stop_gradient(disD_params), disD_cfg, gcfg,
+        jax.lax.stop_gradient(fake_chunk)))
+    return (1.0 - D0) / jnp.clip(D0, a_min=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Per-batch losses (one [tgt_len, bsz] GAN batch, all chunks)
+# ---------------------------------------------------------------------------
+
+def gan_losses_for_batch(gen_params, dis_params, dis_cfg, xcfg, gcfg,
+                         data, temperature, rng, *, train_dis: bool,
+                         disD_params=None, disD_cfg=None, P0=None,
+                         update_P0: bool = False):
+    """Sample fakes and score every chunk.
+
+    Returns (dict with summed (over chunks) gen_loss, dis_loss, gp_loss,
+    new P0). For the dis phase the fake is detached
+    (transformer_gan.py:346-347). With ``update_P0`` (reference
+    update_D0 / first call, :376-381), P0 is re-snapshotted from each
+    chunk's fake before use.
+    """
+    rng, sample_rng = jax.random.split(rng)
+    chunks = sample_fake_chunks(gen_params, xcfg, gcfg, data, temperature,
+                                sample_rng)
+    gen_loss = jnp.zeros((), jnp.float32)
+    dis_loss = jnp.zeros((), jnp.float32)
+    gp_loss = jnp.zeros((), jnp.float32)
+    for fake_chunk, real_ids in chunks:
+        if train_dis:
+            fake_chunk = jax.lax.stop_gradient(fake_chunk)
+        rng, score_rng, gp_rng = jax.random.split(rng, 3)
+        d_real, d_fake = score_chunk(dis_params, dis_cfg, gcfg, real_ids,
+                                     fake_chunk, train=train_dis,
+                                     rng=score_rng if train_dis else None)
+        if gcfg.ppo and not train_dis:
+            if update_P0:
+                P0 = compute_P0(disD_params, disD_cfg, gcfg, fake_chunk)
+            target = ppo_surrogate(disD_params, disD_cfg, gcfg, fake_chunk,
+                                   d_fake, P0)
+            g, d = get_losses(d_real, target, gcfg.loss_type)
+        else:
+            g, d = get_losses(d_real, d_fake, gcfg.loss_type)
+        gen_loss = gen_loss + g
+        dis_loss = dis_loss + d
+        if train_dis and gcfg.has_gp:
+            gp_loss = gp_loss + chunk_gradient_penalty(
+                dis_params, dis_cfg, gcfg, real_ids, fake_chunk, gp_rng)
+    return ({"gen_loss": gen_loss, "dis_loss": dis_loss,
+             "gp_loss": gp_loss}, P0)
+
+
+def classifier_loss_for_batch(gen_params, disD_params, disD_cfg, xcfg, gcfg,
+                              data, temperature, rng):
+    """PPO classifier BCE: real->1, fake->0 (transformer_gan.py:351-373)."""
+    rng, sample_rng = jax.random.split(rng)
+    chunks = sample_fake_chunks(
+        jax.lax.stop_gradient(gen_params), xcfg, gcfg, data, temperature,
+        sample_rng)
+    total = jnp.zeros((), jnp.float32)
+    for fake_chunk, real_ids in chunks:
+        pr = jax.nn.sigmoid(dis_D_forward(disD_params, disD_cfg, gcfg,
+                                          real_ids))
+        pf = jax.nn.sigmoid(dis_D_forward(
+            disD_params, disD_cfg, gcfg,
+            jax.lax.stop_gradient(fake_chunk)))
+        eps = 1e-7
+        err_real = -jnp.mean(jnp.log(jnp.clip(pr, eps, 1 - eps)))
+        err_fake = -jnp.mean(jnp.log(jnp.clip(1 - pf, eps, 1 - eps)))
+        total = total + (err_real + err_fake)
+    return total / (gcfg.batch_chunk * gcfg.sample_chunks_mem)

@@ -1,15 +1,401 @@
-"""GAN training phases (discriminator / generator / PPO classifier).
+"""GAN training phases: discriminator / generator / PPO classifier.
 
-Placeholder wired into Trainer; the full adversarial stack (gumbel sampling
-scan, RelGAN-CNN and BERT discriminators, loss zoo dispatch, gradient
-penalty, three-optimizer schedule) lands with transformer_gan_tpu.models.gan.
+Counterpart of the reference GAN sections of train.py (dis phase
+:924-1014, gen phase :1016-1090, three optimizers :407-449, per-phase
+schedulers :497-568). Each phase is ONE jitted XLA program: a lax.scan over
+the discriminator batch_chunk micro-batches, each sampling fakes with the
+gumbel-ST scan and scoring real vs fake, gradients accumulated, clip + the
+phase's optimizer applied.
+
+Freezing (reference requires_grad toggling + calculate_unfreeze_idx,
+transformer_gan.py:568-585, train.py:942-950) maps to an optax.masked
+trainable mask over the discriminator tree.
 """
 
 from __future__ import annotations
 
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import is_null
+from ..models import bert as bert_mod
+from ..models import discriminator as disc_mod
+from ..models import gan as gan_mod
+from ..models import xl
+from . import checkpoint as ckpt
+from . import optim as topt
+from . import step as tstep
+
+
+def _bert_trainable_mask(params, freeze_layers, random_weights: bool):
+    """True = trainable. Embeddings frozen unless random init; encoder
+    layers whose index is in freeze_layers frozen
+    (reference calculate_unfreeze_idx, transformer_gan.py:568-585)."""
+    frozen_layers = {int(i) for i in freeze_layers}
+
+    def emb_mask(_):
+        return bool(random_weights)
+
+    mask = {}
+    for key, val in params.items():
+        if key == "layers":
+            mask["layers"] = [
+                jax.tree.map(lambda _: li not in frozen_layers, layer)
+                for li, layer in enumerate(val)]
+        elif "embedding" in key or key.startswith("emb_ln"):
+            mask[key] = jax.tree.map(emb_mask, val)
+        else:
+            mask[key] = jax.tree.map(lambda _: True, val)
+    return mask
+
+
+def _masked(optimizer, mask):
+    if mask is None:
+        return optimizer
+    return optax.masked(optimizer, mask)
+
+
+def _make_dis_optimizer(cfg, dis_params):
+    """AdamW with no-decay on bias/LN for bert (train.py:413-439), plain
+    Adam for cnn (:441-444), with the dis scheduler (:534-568)."""
+    d = cfg.DISCRIMINATOR
+    sched = topt.make_schedule(d.dis_scheduler, d.dis_lr, cfg.TRAIN.max_step,
+                               d.dis_lr_min, d.dis_warmup_step)
+    if d.type == "bert":
+        base_lr = d.BERT.learning_rate
+
+        def decay_mask(params):
+            def is_decay(path, _):
+                last = path[-1]
+                name = getattr(last, "key", getattr(last, "idx", ""))
+                return not (str(name).endswith("_b")
+                            or "ln" in str(name) or "bias" in str(name))
+            return jax.tree_util.tree_map_with_path(is_decay, params)
+
+        direction = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999,
+                                eps=d.BERT.adam_epsilon),
+            optax.masked(optax.add_decayed_weights(d.BERT.weight_decay),
+                         decay_mask(dis_params))
+            if d.BERT.weight_decay else optax.identity(),
+        )
+        trainable = _bert_trainable_mask(dis_params, d.BERT.freeze_layers,
+                                         d.BERT.random_weights)
+    else:
+        base_lr = d.CNN.learning_rate
+        direction = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        trainable = None
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.TRAIN.clip),
+        direction,
+        optax.scale_by_schedule(sched),
+        optax.scale(base_lr),
+        optax.scale(-1.0),
+    )
+    return _masked(opt, trainable), trainable
+
 
 class GanPhases:
+    """Owns discriminator(s), the gen/dis/dis_D optimizers, P0, and the
+    jitted phase steps. Wired into Trainer (train/loop.py)."""
+
     def __init__(self, trainer, cfg):
-        raise NotImplementedError(
-            "GAN phases are implemented in the gan milestone; "
-            "set DISCRIMINATOR.type: Null for MLE-only training")
+        self.cfg = cfg
+        self.trainer = trainer
+        self.xcfg = trainer.xcfg
+        self.temperature = 1.0
+        d = cfg.DISCRIMINATOR
+        self.gcfg = gan_mod.GanConfig.from_cfg(cfg, len(trainer.vocab))
+
+        # ---- discriminator params (reference train.py:366,377-387) ----
+        if d.type == "bert":
+            self.dis_cfg = bert_mod.BertConfig(
+                vocab_size=len(trainer.vocab) + 1)
+            self.dis_params = self._init_bert(
+                d.BERT.model_path, d.BERT.random_weights, seed=17)
+        elif d.type == "cnn":
+            self.dis_cfg = disc_mod.RelganConfig(
+                embed_dim=d.CNN.embed_dim, num_rep=d.CNN.num_rep,
+                vocab_size=len(trainer.vocab), init=d.CNN.init)
+            self.dis_params = disc_mod.init_relgan_params(self.dis_cfg,
+                                                          seed=17)
+        else:
+            raise NotImplementedError(d.type)
+
+        self.dis_optimizer = None
+        self.dis_opt_state = None
+        if not d.freeze_discriminator:
+            self.dis_optimizer, self._dis_mask = _make_dis_optimizer(
+                cfg, self.dis_params)
+            self.dis_opt_state = self.dis_optimizer.init(self.dis_params)
+
+        # ---- generator GAN optimizer (train.py:407-410,497-532) ----
+        gen_sched = topt.make_schedule(
+            d.gen_scheduler, d.gen_lr, cfg.TRAIN.max_step, d.gen_lr_min,
+            d.gen_warmup_step)
+        gen_lr = d.gen_lr / max(1, int(trainer.n_devices))
+        self.gen_optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.TRAIN.clip),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_schedule(gen_sched),
+            optax.scale(gen_lr),
+            optax.scale(-1.0),
+        )
+        self.gen_opt_state = self.gen_optimizer.init(trainer.state.params)
+
+        # ---- PPO auxiliary classifier (train.py:448-449) ----
+        self.disD_params = None
+        self.disD_cfg = None
+        self.disD_opt_state = None
+        if self.gcfg.ppo:
+            if cfg.PPO.dis_D_type == "bert":
+                self.disD_cfg = bert_mod.BertConfig(
+                    vocab_size=len(trainer.vocab) + 1)
+                self.disD_params = self._init_bert(
+                    d.BERT.model_path, d.BERT.random_weights, seed=23)
+            else:
+                self.disD_cfg = disc_mod.RelganConfig(
+                    embed_dim=d.CNN.embed_dim, num_rep=cfg.PPO.dis_D_num_rep,
+                    vocab_size=len(trainer.vocab), init=d.CNN.init)
+                self.disD_params = disc_mod.init_relgan_params(
+                    self.disD_cfg, seed=23)
+            self.disD_optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.TRAIN.clip),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale(cfg.PPO.dis_D_lr),
+                optax.scale(-1.0),
+            )
+            self.disD_opt_state = self.disD_optimizer.init(self.disD_params)
+
+        # dis_D scores one value per batch row (PPO.dis_D_num_rep == 1)
+        bsz_chunk_dis = trainer.batch_size // self.gcfg.batch_chunk
+        self.P0 = jnp.zeros((bsz_chunk_dis,), jnp.float32)
+        self.P0_initialized = False
+
+        self.rng = jax.random.PRNGKey(cfg.TRAIN.seed + 777)
+        self._dis_stream = trainer.dis_iter()
+        self._build_steps()
+
+        # logging accumulators (reference log_gen/dis_train_loss)
+        self.log_gen_loss = 0.0
+        self.log_gen_num = 0
+        self.log_dis_loss = 0.0
+        self.log_dis_num = 0
+
+    # ------------------------------------------------------------------
+    def _init_bert(self, model_path, random_weights, seed):
+        params = bert_mod.init_bert_params(
+            bert_mod.BertConfig(vocab_size=len(self.trainer.vocab) + 1),
+            seed=seed)
+        if not random_weights and not is_null(model_path) and \
+                os.path.isdir(model_path):
+            logging.info("Loading BERT discriminator weights from %s",
+                         model_path)
+            params = ckpt.load_generator_params(model_path, params)
+        elif not random_weights:
+            logging.warning(
+                "BERT discriminator checkpoint %s not found; starting from"
+                " random weights", model_path)
+        else:
+            logging.info("Starting BERT discriminator from random weights")
+        return params
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg, gcfg, xcfg = self.cfg, self.gcfg, self.xcfg
+        dis_cfg, disD_cfg = self.dis_cfg, self.disD_cfg
+        bc = gcfg.batch_chunk
+        scale = 1.0 / (gcfg.batch_chunk * gcfg.sample_chunks_mem)
+
+        def chunk_data(data):
+            # [tgt, bsz] -> [bc, tgt, bsz/bc]
+            return tstep.chunk_batch(data, bc)
+
+        self._chunk_data = chunk_data
+
+        # ---------- discriminator phase ----------
+        def dis_loss_fn(dis_params, gen_params, d, temp, rng):
+            losses, _ = gan_mod.gan_losses_for_batch(
+                jax.lax.stop_gradient(gen_params), dis_params, dis_cfg,
+                xcfg, gcfg, d, temp, rng, train_dis=True)
+            total = (losses["dis_loss"] + losses["gp_loss"]) * \
+                gcfg.dis_loss_factor * scale
+            return total, losses
+
+        dis_grad = jax.grad(dis_loss_fn, has_aux=True)
+
+        def dis_step(gen_params, dis_params, dis_opt_state, data_c, temp,
+                     rng):
+            rngs = jax.random.split(rng, bc)
+
+            def body(carry, xs):
+                grads_acc, dsum, gsum = carry
+                d, rng_c = xs
+                grads, losses = dis_grad(dis_params, gen_params, d, temp,
+                                         rng_c)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc,
+                        dsum + losses["dis_loss"],
+                        gsum + losses["gp_loss"]), None
+
+            zero = jax.tree.map(jnp.zeros_like, dis_params)
+            (grads, dsum, gsum), _ = jax.lax.scan(
+                body, (zero, jnp.zeros(()), jnp.zeros(())), (data_c, rngs))
+            updates, new_opt = self.dis_optimizer.update(
+                grads, dis_opt_state, dis_params)
+            new_params = optax.apply_updates(dis_params, updates)
+            # logged like reference ret["dis_loss"] (transformer_gan.py:516)
+            logged = dsum * gcfg.dis_loss_factor / gcfg.sample_chunks_mem
+            return new_params, new_opt, logged, gsum
+
+        # ---------- generator phase ----------
+        def gen_loss_fn(gen_params, dis_params, disD_params, d, temp, rng,
+                        P0, update_P0):
+            losses, newP0 = gan_mod.gan_losses_for_batch(
+                gen_params, jax.lax.stop_gradient(dis_params), dis_cfg,
+                xcfg, gcfg, d, temp, rng, train_dis=False,
+                disD_params=disD_params, disD_cfg=disD_cfg, P0=P0,
+                update_P0=update_P0)
+            total = losses["gen_loss"] * gcfg.gen_loss_factor * scale
+            return total, (losses, newP0)
+
+        def make_gen_step(update_P0):
+            gen_grad = jax.grad(
+                lambda gp, dp, ddp, d, t, r, P0: gen_loss_fn(
+                    gp, dp, ddp, d, t, r, P0, update_P0), has_aux=True)
+
+            def gen_step(gen_params, gen_opt_state, dis_params, disD_params,
+                         data_c, temp, rng, P0):
+                rngs = jax.random.split(rng, bc)
+
+                def body(carry, xs):
+                    grads_acc, gsum, P0c = carry
+                    d, rng_c = xs
+                    grads, (losses, newP0) = gen_grad(
+                        gen_params, dis_params, disD_params, d, temp,
+                        rng_c, P0c)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, gsum + losses["gen_loss"],
+                            newP0), None
+
+                zero = jax.tree.map(jnp.zeros_like, gen_params)
+                (grads, gsum, newP0), _ = jax.lax.scan(
+                    body, (zero, jnp.zeros(()), P0), (data_c, rngs))
+                updates, new_opt = self.gen_optimizer.update(
+                    grads, gen_opt_state, gen_params)
+                new_params = optax.apply_updates(gen_params, updates)
+                logged = gsum * gcfg.gen_loss_factor / gcfg.sample_chunks_mem
+                return new_params, new_opt, logged, newP0
+
+            return jax.jit(gen_step, donate_argnums=(0, 1))
+
+        # ---------- PPO classifier phase ----------
+        def clf_loss_fn(disD_params, gen_params, d, temp, rng):
+            return gan_mod.classifier_loss_for_batch(
+                gen_params, disD_params, disD_cfg, xcfg, gcfg, d, temp, rng)
+
+        clf_grad = jax.grad(clf_loss_fn)
+
+        def clf_step(gen_params, disD_params, disD_opt_state, data_c, temp,
+                     rng):
+            rngs = jax.random.split(rng, bc)
+
+            def body(grads_acc, xs):
+                d, rng_c = xs
+                grads = clf_grad(disD_params, gen_params, d, temp, rng_c)
+                return jax.tree.map(jnp.add, grads_acc, grads), None
+
+            zero = jax.tree.map(jnp.zeros_like, disD_params)
+            grads, _ = jax.lax.scan(body, zero, (data_c, rngs))
+            updates, new_opt = self.disD_optimizer.update(
+                grads, disD_opt_state, disD_params)
+            return optax.apply_updates(disD_params, updates), new_opt
+
+        self._dis_step = jax.jit(dis_step, donate_argnums=(1, 2))
+        self._gen_step = {True: make_gen_step(True),
+                          False: make_gen_step(False)}
+        self._clf_step = jax.jit(clf_step, donate_argnums=(1, 2)) \
+            if self.gcfg.ppo else None
+
+    # ------------------------------------------------------------------
+    def _next_dis_batch(self):
+        data, _ = next(self._dis_stream)
+        return jnp.asarray(self._chunk_data(data))
+
+    def _split_rng(self):
+        self.rng, r = jax.random.split(self.rng)
+        return r
+
+    def dis_phase(self):
+        """Reference train.py:924-1014: dis_steps optimizer updates over
+        fresh real batches (no-op when the discriminator is frozen)."""
+        if self.dis_optimizer is None:
+            return
+        for _ in range(self.cfg.DISCRIMINATOR.dis_steps):
+            data_c = self._next_dis_batch()
+            self.dis_params, self.dis_opt_state, dloss, gp = self._dis_step(
+                self.trainer.state.params, self.dis_params,
+                self.dis_opt_state, data_c, self.temperature,
+                self._split_rng())
+            self.log_dis_loss += float(dloss)
+            self.log_dis_num += self.gcfg.batch_chunk
+
+    def gen_phase(self, train_step_num: int):
+        """Reference train.py:1016-1090: optional PPO classifier update,
+        then the adversarial generator update."""
+        data_c = self._next_dis_batch()
+        update_D0 = (train_step_num % self.cfg.PPO.dis_D_update_D0_freq
+                     == 0) or not self.P0_initialized
+
+        if self.gcfg.ppo:
+            self.disD_params, self.disD_opt_state = self._clf_step(
+                self.trainer.state.params, self.disD_params,
+                self.disD_opt_state, data_c, self.temperature,
+                self._split_rng())
+
+        gen_step = self._gen_step[bool(update_D0) if self.gcfg.ppo
+                                  else False]
+        new_params, self.gen_opt_state, gloss, self.P0 = gen_step(
+            self.trainer.state.params, self.gen_opt_state, self.dis_params,
+            self.disD_params, data_c, self.temperature, self._split_rng(),
+            self.P0)
+        self.P0_initialized = True
+        self.trainer.state = self.trainer.state._replace(params=new_params)
+        self.log_gen_loss += float(gloss)
+        self.log_gen_num += self.gcfg.batch_chunk
+
+    # ------------------------------------------------------------------
+    def pop_log_stats(self):
+        g = (self.log_gen_loss / self.log_gen_num
+             if self.log_gen_num else 0.0)
+        d = (self.log_dis_loss / self.log_dis_num
+             if self.log_dis_num else 0.0)
+        self.log_gen_loss = self.log_gen_num = 0
+        self.log_dis_loss = self.log_dis_num = 0
+        return g, d
+
+    def ckpt_payload(self):
+        payload = {"dis_params": self.dis_params,
+                   "gen_opt_state": self.gen_opt_state}
+        if self.dis_opt_state is not None:
+            payload["dis_opt_state"] = self.dis_opt_state
+        if self.disD_params is not None:
+            payload["disD_params"] = self.disD_params
+            payload["disD_opt_state"] = self.disD_opt_state
+        return payload
+
+    def restore(self, payload):
+        self.dis_params = payload.get("dis_params", self.dis_params)
+        self.gen_opt_state = payload.get("gen_opt_state",
+                                         self.gen_opt_state)
+        if "dis_opt_state" in payload:
+            self.dis_opt_state = payload["dis_opt_state"]
+        if "disD_params" in payload:
+            self.disD_params = payload["disD_params"]
+            self.disD_opt_state = payload["disD_opt_state"]
