@@ -134,6 +134,19 @@ class Trainer:
         self.eval_step_fn = tstep.make_eval_step(self.xcfg,
                                                  self.vocab.pad_id)
 
+        # ---- quality metrics (reference train.py:276-282) ----
+        from ..metrics.bleu import BLEU
+        from ..metrics.classifier import Classifier
+        self.bleu = BLEU("BLEU", gram=[2, 3, 4, 5],
+                         if_use=cfg.METRICS.use_bleu)
+        self.self_bleu = BLEU("Self-BLEU", gram=[2, 3, 4],
+                              if_use=cfg.METRICS.use_self_bleu)
+        self.classifier = Classifier(
+            "Classifier", if_use=cfg.METRICS.CLASSIFIER.use_classifier,
+            seq_len=cfg.METRICS.CLASSIFIER.block_size,
+            batch_size=cfg.METRICS.CLASSIFIER.bert_batch_size,
+            model_name_or_path=cfg.METRICS.CLASSIFIER.model_path)
+
         self.gan = None
         if self.has_gan:
             from .gan_loop import GanPhases
@@ -205,7 +218,64 @@ class Trainer:
                 mems)
             total_nll += float(nll_sum)
             total_token_num += int(cnt)
-        return total_token_num, total_nll
+
+        results = self._generation_metrics(mode)
+        return total_token_num, total_nll, results
+
+    def _generate_tokens(self, num_samples, temperature, batch_size=128,
+                         seq_len=2048):
+        """Argmax-gumbel sampling for the quality metrics (reference
+        generate_tokens, train.py:694-744): tgt_len=1 incremental decode
+        with mem_len=seq_len, starting from <S>."""
+        from ..infer.sample import generate_tokens_gumbel
+        assert num_samples % batch_size == 0
+        out = []
+        rng = jax.random.PRNGKey(1234 + self.train_step_num)
+        for _ in range(num_samples // batch_size):
+            rng, r = jax.random.split(rng)
+            mems = xl.init_mems(self.xcfg, seq_len, batch_size)
+            first = jnp.zeros((batch_size,), jnp.int32)
+            toks = generate_tokens_gumbel(
+                self.state.params, self.xcfg, float(temperature), seq_len,
+                first, mems, r)
+            out.append(np.asarray(toks).T)  # [bsz, seq_len]
+        return np.concatenate(out, axis=0)
+
+    def _generation_metrics(self, mode):
+        """BLEU / self-BLEU / classifier accuracy on generated samples
+        (reference evaluate(), train.py:781-819)."""
+        cfg = self.cfg
+        temperature = self.gan.temperature if self.gan is not None else 1.0
+        gen_tokens = None
+        if cfg.METRICS.use_bleu:
+            gen_tokens = self._generate_tokens(512, temperature,
+                                               batch_size=128,
+                                               seq_len=512).tolist()
+            corpus = (self.dataset.valid_data if mode == "eval"
+                      else self.dataset.test_data)
+            self.bleu.reset(test_text=gen_tokens,
+                            real_text=[x.tolist() for x in corpus])
+        if cfg.METRICS.use_self_bleu and mode == "eval":
+            if gen_tokens is None:
+                gen_tokens = self._generate_tokens(512, temperature,
+                                                   batch_size=128,
+                                                   seq_len=512).tolist()
+            gen_tokens_s = self._generate_tokens(512, temperature,
+                                                 batch_size=128,
+                                                 seq_len=512).tolist()
+            self.self_bleu.reset(test_text=gen_tokens_s,
+                                 real_text=gen_tokens)
+        if cfg.METRICS.CLASSIFIER.use_classifier and mode == "eval":
+            m = cfg.METRICS.CLASSIFIER
+            gen = self._generate_tokens(m.gen_num_samples, temperature,
+                                        batch_size=m.gen_batch_size,
+                                        seq_len=m.gen_seq_len)
+            self.classifier.reset(test_text=list(gen),
+                                  real_text=self.dataset.valid_data)
+        if mode == "eval":
+            return [self.bleu.get_score(), self.self_bleu.get_score(),
+                    self.classifier.get_score()]
+        return [self.bleu.get_score()]
 
     def _all_reduce_eval(self, token_num, nll):
         reduced = pmesh.host_allreduce_sum(
@@ -225,6 +295,11 @@ class Trainer:
 
         train_stream = self.train_iter()
         logging.info("Start training")
+
+        # jax.profiler trace capture (reference had only commented-out
+        # TensorBoard wiring, train.py:54-60; SURVEY 5.1 asks for this)
+        profile_dir = cfg.TPU.profile_dir
+        profile_start, profile_stop = 10, 15
 
         for (data, target, reset_mems, batch_token_num,
              status_vec) in train_stream:
@@ -251,6 +326,13 @@ class Trainer:
                     self.gan.gen_phase(self.train_step_num)
 
             self.train_step_num += 1
+            if profile_dir and self.train_step_num == profile_start:
+                jax.profiler.start_trace(profile_dir)
+                logging.info("profiler trace started -> %s", profile_dir)
+            if profile_dir and self.train_step_num == profile_stop:
+                jax.profiler.stop_trace()
+                logging.info("profiler trace saved -> %s", profile_dir)
+                profile_dir = ""
             log_loss_w += float(metrics["loss_weighted"])
             log_tokens += int(metrics["tokens"])
             log_grad_norm += float(metrics["grad_norm"])
@@ -290,15 +372,17 @@ class Trainer:
     def _eval_and_checkpoint(self):
         cfg = self.cfg
         eval_start = time.time()
-        tok, nll = self.evaluate(self.val_iter, mode="eval")
+        tok, nll, val_metrics = self.evaluate(self.val_iter, mode="eval")
         tok, nll = self._all_reduce_eval(tok, nll)
         val_nll = nll / max(tok, 1.0)
         if self.process_index == 0:
             logging.info(
                 "Eval step %d, time=%.1fs, val nll=%.5f, val ppl=%.3f,"
-                " #evaluated tokens=%d", self.train_step_num,
+                " #evaluated tokens=%d, bleu=%s, self_bleu=%s,"
+                " class_acc=%s", self.train_step_num,
                 time.time() - eval_start, val_nll,
-                math.exp(min(val_nll, 50.0)), int(tok))
+                math.exp(min(val_nll, 50.0)), int(tok),
+                val_metrics[0], val_metrics[1], val_metrics[2])
 
         if not self.debug and self.save_all:
             self._save(f"checkpoint_{self.train_step_num}", val_nll)
@@ -310,15 +394,16 @@ class Trainer:
             if not self.debug:
                 self._save("checkpoint_best", self.best_val_nll)
             test_start = time.time()
-            ttok, tnll = self.evaluate(self.test_iter, mode="test")
+            ttok, tnll, test_metrics = self.evaluate(self.test_iter, mode="test")
             ttok, tnll = self._all_reduce_eval(ttok, tnll)
             test_nll = tnll / max(ttok, 1.0)
             if self.process_index == 0:
                 logging.info(
                     "Test step %d, time=%.1fs, test nll=%.5f,"
-                    " test ppl=%.3f, #evaluated tokens=%d",
+                    " test ppl=%.3f, #evaluated tokens=%d, test_bleu=%s",
                     self.train_step_num, time.time() - test_start,
-                    test_nll, math.exp(min(test_nll, 50.0)), int(ttok))
+                    test_nll, math.exp(min(test_nll, 50.0)), int(ttok),
+                    test_metrics[0])
 
         if self.plateau is not None:
             mult = self.plateau.step(val_nll)
