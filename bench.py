@@ -40,7 +40,8 @@ def main():
     on_tpu = platform == "tpu"
 
     xcfg = xl.XLConfig(
-        compute_dtype="bfloat16" if on_tpu else "float32")
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        cache_kv=True)
     params = xl.init_xl_params(xcfg, seed=0)
 
     bsz = 128 if on_tpu else 16
@@ -51,7 +52,8 @@ def main():
     schedule = topt.make_schedule("inv_sqrt", 4e-3, 100000, 1e-4, 4000)
     optimizer = topt.make_optimizer("adam", 4e-3, schedule, 1.0)
     state = tstep.init_train_state(params, optimizer, xcfg, batch_chunk,
-                                   mem, bsz // batch_chunk, seed=0)
+                                   mem, bsz // batch_chunk, seed=0,
+                                   rng_impl="rbg")
     step_fn = tstep.make_mle_train_step(xcfg, optimizer, batch_chunk,
                                         pad_id=1, donate=True)
 

@@ -36,6 +36,10 @@ def _make_cfg(tgt_len=16, mem_len=32):
     cfg.TRAIN.tgt_length = tgt_len
     cfg.TRAIN.mem_length = mem_len
     cfg.TPU.compute_dtype = "float32"
+    # the torch-parity fixtures compare raw hidden-state mems; pin the
+    # reference-semantics memory layout (the kv path has its own
+    # equivalence test below)
+    cfg.TPU.cache_kv = False
     cfg.freeze()
     return cfg
 
@@ -217,3 +221,35 @@ def test_gumbel_st_properties():
     g = jax.grad(f)(logits)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_kv_cache_path_matches_hidden_path():
+    """cache_kv=True (projected K/V memory) must be numerically equivalent
+    to the reference-semantics hidden-state memory path."""
+    import dataclasses
+    cfg = _make_cfg()
+    xcfg_h = xl.XLConfig.from_cfg(cfg, 310)
+    xcfg_kv = dataclasses.replace(xcfg_h, cache_kv=True)
+    params = xl.init_xl_params(xcfg_h, seed=11)
+
+    rng = np.random.RandomState(4)
+    mems_h = xl.init_mems(xcfg_h, 32, 2)
+    mems_kv = xl.init_mems(xcfg_kv, 32, 2)
+    assert mems_kv.hids.shape == (2, 2, 2, 4, 32, 8)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("kv",))
+    def run(params, d, t, r, m, kv):
+        c = xcfg_kv if kv else xcfg_h
+        return xl.forward_nll(params, c, d, t, r, m)
+
+    for step in range(4):
+        data = jnp.asarray(rng.randint(0, 310, (16, 2)))
+        target = jnp.asarray(rng.randint(0, 310, (16, 2)))
+        reset = jnp.asarray(
+            np.array([step == 2, False]))  # reset one lane mid-stream
+        nll_h, mems_h = run(params, data, target, reset, mems_h, False)
+        nll_kv, mems_kv = run(params, data, target, reset, mems_kv, True)
+        np.testing.assert_allclose(np.asarray(nll_kv), np.asarray(nll_h),
+                                   rtol=2e-4, atol=2e-5)

@@ -294,6 +294,8 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     cfg.TPU.param_dtype = "float32"     # master parameter dtype
     cfg.TPU.softmax_dtype = "float32"   # attention softmax accumulation dtype
     cfg.TPU.use_pallas_attention = True
+    cfg.TPU.cache_kv = True             # memory stores projected K/V
+    cfg.TPU.rng_impl = "rbg"            # fast TPU PRNG for dropout/gumbel
     cfg.TPU.mesh_shape = [-1]           # data-parallel axis; -1 = all devices
     cfg.TPU.mesh_axes = ["data"]
     cfg.TPU.remat = False               # jax.checkpoint over decoder layers

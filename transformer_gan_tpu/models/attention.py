@@ -96,3 +96,69 @@ def rel_attention(w: jnp.ndarray,
     attn_prob = attn_prob.astype(w_head_v.dtype)
     attn_vec = jnp.einsum("bnij,jbnd->ibnd", attn_prob, w_head_v)
     return attn_vec.reshape(qlen, bsz, n_head * d_head)
+
+
+def rel_attention_kv(w: jnp.ndarray,
+                     k_mem: jnp.ndarray,
+                     v_mem: jnp.ndarray,
+                     r: jnp.ndarray,
+                     qkv_w: jnp.ndarray,
+                     r_w: jnp.ndarray,
+                     r_w_bias: jnp.ndarray,
+                     r_r_bias: jnp.ndarray,
+                     attn_mask: jnp.ndarray,
+                     n_head: int,
+                     d_head: int,
+                     *,
+                     softmax_dtype=jnp.float32,
+                     dropatt_rng=None,
+                     dropatt_rate: float = 0.0):
+    """K/V-cached XL attention: memory holds projected keys/values.
+
+    XL keys/values are position-independent (relative position enters only
+    through the r terms at score time), so the reference's recomputation of
+    QKV over [mems || current] every step (mem_transformer.py:165-174) can
+    be replaced by caching K/V — identical math, ~9x less QKV FLOPs at
+    mem_len 1024 / tgt_len 128.
+
+    w:     [qlen, bsz, d_model] current (pre-LN applied by caller if needed)
+    k_mem, v_mem: [bsz, n_head, mem_len, d_head] cached memory K/V
+    Returns (attn_vec [qlen, bsz, n_head*d_head],
+             k_cur [bsz, n_head, qlen, d_head], v_cur likewise).
+    """
+    qlen, bsz = w.shape[0], w.shape[1]
+    mem_len = k_mem.shape[2]
+    klen = mem_len + qlen
+    scale = 1.0 / (d_head ** 0.5)
+
+    w_heads = w @ qkv_w  # [qlen, bsz, 3*n_head*d_head]
+    q, k_cur, v_cur = jnp.split(w_heads, 3, axis=-1)
+    # attention-ready [b, h, t, d] layout
+    q = q.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    k = jnp.concatenate([k_mem, k_cur], axis=2)   # [b, h, klen, d]
+    v = jnp.concatenate([v_mem, v_cur], axis=2)
+
+    r_head_k = (r @ r_w).reshape(klen, n_head, d_head)
+
+    rw_q = q + r_w_bias.astype(q.dtype)[None, :, None, :]
+    AC = rw_q @ k.transpose(0, 1, 3, 2)           # [b, h, qlen, klen]
+    rr_q = q + r_r_bias.astype(q.dtype)[None, :, None, :]
+    BD = jnp.einsum("bhid,jhd->bhij", rr_q, r_head_k.astype(q.dtype))
+    BD = rel_shift(BD)
+
+    attn_score = (AC + BD).astype(softmax_dtype) * scale
+    neg = jnp.asarray(jnp.finfo(softmax_dtype).min, dtype=softmax_dtype)
+    attn_score = jnp.where(attn_mask[:, None, :, :], neg, attn_score)
+    attn_prob = jax.nn.softmax(attn_score, axis=3)
+
+    if dropatt_rng is not None and dropatt_rate > 0.0:
+        keep = jax.random.bernoulli(dropatt_rng, 1.0 - dropatt_rate,
+                                    attn_prob.shape)
+        attn_prob = jnp.where(keep, attn_prob / (1.0 - dropatt_rate), 0.0)
+
+    ctx = attn_prob.astype(v.dtype) @ v           # [b, h, qlen, d]
+    attn_vec = ctx.transpose(2, 0, 1, 3).reshape(qlen, bsz,
+                                                 n_head * d_head)
+    return attn_vec, k_cur, v_cur

@@ -49,6 +49,7 @@ class XLConfig:
     vec_len: int = 0
     compute_dtype: str = "float32"
     softmax_dtype: str = "float32"
+    cache_kv: bool = False  # memory holds projected K/V instead of hiddens
 
     @property
     def d_head(self) -> int:
@@ -78,13 +79,22 @@ class XLConfig:
             vec_len=vec_len,
             compute_dtype=cfg.TPU.compute_dtype,
             softmax_dtype=cfg.TPU.softmax_dtype,
+            cache_kv=cfg.TPU.cache_kv,
         )
 
 
 class XLMems(NamedTuple):
-    """Segment-recurrence state: ring buffer + number of valid tail slots."""
+    """Segment-recurrence state: ring buffer + number of valid tail slots.
 
-    hids: jnp.ndarray   # [n_layer+1, mem_len, bsz, d_model]
+    hids layout depends on XLConfig.cache_kv:
+      False: [n_layer+1, mem_len, bsz, d_model]  (reference semantics:
+             raw hidden states, QKV recomputed over them each step)
+      True:  [n_layer, 2, bsz, n_head, mem_len, d_head]  (projected K/V in
+             attention-ready layout; mathematically identical, ~9x less
+             memory-side QKV compute at train shapes)
+    """
+
+    hids: jnp.ndarray
     count: jnp.ndarray  # int32 scalar
 
 
@@ -92,11 +102,13 @@ def init_mems(cfg: XLConfig, mem_len: int, bsz: int,
               dtype=None) -> XLMems:
     """Empty memory (reference init_mems, mem_transformer.py:436-443)."""
     dtype = dtype or cfg.cdtype
-    return XLMems(
-        hids=jnp.zeros((cfg.n_layer + 1, mem_len, bsz, cfg.d_model),
-                       dtype=dtype),
-        count=jnp.zeros((), dtype=jnp.int32),
-    )
+    if cfg.cache_kv:
+        buf = jnp.zeros((cfg.n_layer, 2, bsz, cfg.n_head, mem_len,
+                         cfg.d_head), dtype=dtype)
+    else:
+        buf = jnp.zeros((cfg.n_layer + 1, mem_len, bsz, cfg.d_model),
+                        dtype=dtype)
+    return XLMems(hids=buf, count=jnp.zeros((), dtype=jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -226,26 +238,46 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
     reference mem_transformer.py:261-281)."""
     r_att, r_o, r_f1, r_f2 = (jax.random.split(rng, 4) if train
                               else (None,) * 4)
-    cat = jnp.concatenate([mems_i, core_out], axis=0)
-    if cfg.pre_lnorm:
-        w_in = layer_norm(core_out, layer["attn_ln_scale"],
-                          layer["attn_ln_bias"])
-        cat_in = layer_norm(cat, layer["attn_ln_scale"],
-                            layer["attn_ln_bias"])
+    kv_cur = None
+    if cfg.cache_kv:
+        from .attention import rel_attention_kv
+        if cfg.pre_lnorm:
+            w_in = layer_norm(core_out, layer["attn_ln_scale"],
+                              layer["attn_ln_bias"])
+        else:
+            w_in = core_out
+        attn_vec, k_cur, v_cur = rel_attention_kv(
+            w_in, mems_i[0], mems_i[1], pos_emb,
+            layer["qkv_w"].astype(cfg.cdtype),
+            layer["r_w"].astype(cfg.cdtype),
+            r_w_bias, r_r_bias, attn_mask,
+            cfg.n_head, cfg.d_head,
+            softmax_dtype=cfg.sdtype,
+            dropatt_rng=r_att if train else None,
+            dropatt_rate=cfg.dropatt,
+        )
+        kv_cur = (k_cur, v_cur)
     else:
-        w_in, cat_in = core_out, cat
+        cat = jnp.concatenate([mems_i, core_out], axis=0)
+        if cfg.pre_lnorm:
+            w_in = layer_norm(core_out, layer["attn_ln_scale"],
+                              layer["attn_ln_bias"])
+            cat_in = layer_norm(cat, layer["attn_ln_scale"],
+                                layer["attn_ln_bias"])
+        else:
+            w_in, cat_in = core_out, cat
 
-    attn_vec = rel_attention(
-        w_in, cat_in, pos_emb,
-        layer["qkv_w"].astype(cfg.cdtype),
-        layer["r_w"].astype(cfg.cdtype),
-        layer["o_w"].astype(cfg.cdtype),
-        r_w_bias, r_r_bias, attn_mask,
-        cfg.n_head, cfg.d_head,
-        softmax_dtype=cfg.sdtype,
-        dropatt_rng=r_att if train else None,
-        dropatt_rate=cfg.dropatt,
-    )
+        attn_vec = rel_attention(
+            w_in, cat_in, pos_emb,
+            layer["qkv_w"].astype(cfg.cdtype),
+            layer["r_w"].astype(cfg.cdtype),
+            layer["o_w"].astype(cfg.cdtype),
+            r_w_bias, r_r_bias, attn_mask,
+            cfg.n_head, cfg.d_head,
+            softmax_dtype=cfg.sdtype,
+            dropatt_rng=r_att if train else None,
+            dropatt_rate=cfg.dropatt,
+        )
     attn_out = attn_vec @ layer["o_w"].astype(cfg.cdtype)
     attn_out = _dropout(r_o, attn_out, cfg.dropout, train)
     if cfg.pre_lnorm:
@@ -266,8 +298,9 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
         cfg.cdtype)
     h = _dropout(r_f2, h, cfg.dropout, train)
     if cfg.pre_lnorm:
-        return out + h
-    return layer_norm(out + h, layer["ff_ln_scale"], layer["ff_ln_bias"])
+        return out + h, kv_cur
+    return layer_norm(out + h, layer["ff_ln_scale"],
+                      layer["ff_ln_bias"]), kv_cur
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +317,7 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     (mem_transformer.py:484-576,445-482) over the static memory buffer.
     """
     qlen, bsz = inp.shape[0], inp.shape[1]
-    mem_len = mems.hids.shape[1]
+    mem_len = mems.hids.shape[4] if cfg.cache_kv else mems.hids.shape[1]
 
     if train:
         rng, r_emb, r_pos = jax.random.split(rng, 3)
@@ -305,16 +338,18 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
 
     hids = [core_out]
+    kvs = []
     layer_fn = decoder_layer
     if remat:
         layer_fn = jax.checkpoint(
             decoder_layer, static_argnums=(1,), policy=None)
     for i in range(cfg.n_layer):
         mems_i = mems.hids[i].astype(cfg.cdtype)
-        core_out = layer_fn(params["layers"][i], cfg, core_out, mems_i,
-                            pos_emb, r_w_bias, r_r_bias, attn_mask,
-                            rngs[i], train)
+        core_out, kv_cur = layer_fn(
+            params["layers"][i], cfg, core_out, mems_i, pos_emb,
+            r_w_bias, r_r_bias, attn_mask, rngs[i], train)
         hids.append(core_out)
+        kvs.append(kv_cur)
 
     final_rng = None
     if train:
@@ -323,8 +358,17 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
 
     # Memory update: roll the ring buffer (reference _update_mems).
     if mem_len > 0:
-        stacked = jnp.stack(hids).astype(mems.hids.dtype)
-        new_hids = jnp.concatenate([mems.hids, stacked], axis=1)[:, -mem_len:]
+        if cfg.cache_kv:
+            # [n_layer, 2, bsz, h, qlen, dh]
+            stacked = jnp.stack(
+                [jnp.stack(kv, axis=0) for kv in kvs]).astype(
+                    mems.hids.dtype)
+            new_hids = jnp.concatenate(
+                [mems.hids, stacked], axis=4)[..., -mem_len:, :]
+        else:
+            stacked = jnp.stack(hids).astype(mems.hids.dtype)
+            new_hids = jnp.concatenate(
+                [mems.hids, stacked], axis=1)[:, -mem_len:]
         if detach_mems:
             new_hids = jax.lax.stop_gradient(new_hids)
         new_count = jnp.minimum(mems.count + qlen, mem_len)

@@ -117,7 +117,8 @@ class Trainer:
 
         self.state = tstep.init_train_state(
             params, self.optimizer, self.xcfg, cfg.TRAIN.batch_chunk,
-            cfg.TRAIN.mem_length, self.bsz_chunk, seed)
+            cfg.TRAIN.mem_length, self.bsz_chunk, seed,
+            rng_impl=cfg.TPU.rng_impl)
 
         # warm start from a previous run's generator (train.py:591-609)
         if not is_null(cfg.TRAIN.load_from_previous) and not restart:

@@ -30,7 +30,8 @@ class TrainState(NamedTuple):
 
 
 def init_train_state(params, optimizer, xcfg: xl.XLConfig, batch_chunk: int,
-                     mem_len: int, bsz_chunk: int, seed: int) -> TrainState:
+                     mem_len: int, bsz_chunk: int, seed: int,
+                     rng_impl: str = "threefry") -> TrainState:
     mems1 = xl.init_mems(xcfg, mem_len, bsz_chunk)
     mems = xl.XLMems(
         hids=jnp.broadcast_to(
@@ -40,7 +41,7 @@ def init_train_state(params, optimizer, xcfg: xl.XLConfig, batch_chunk: int,
         params=params,
         opt_state=optimizer.init(params),
         mems=mems,
-        rng=jax.random.PRNGKey(seed),
+        rng=jax.random.key(seed, impl=rng_impl),
         step=jnp.zeros((), jnp.int32),
     )
 
