@@ -41,7 +41,7 @@ def main():
 
     xcfg = xl.XLConfig(
         compute_dtype="bfloat16" if on_tpu else "float32",
-        cache_kv=True)
+        cache_kv=True, use_pallas=on_tpu)
     params = xl.init_xl_params(xcfg, seed=0)
 
     bsz = 128 if on_tpu else 16

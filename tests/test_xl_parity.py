@@ -253,3 +253,44 @@ def test_kv_cache_path_matches_hidden_path():
         nll_kv, mems_kv = run(params, data, target, reset, mems_kv, True)
         np.testing.assert_allclose(np.asarray(nll_kv), np.asarray(nll_h),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_fused_attention_matches_jnp(monkeypatch):
+    """Fused kernel (interpret mode on CPU) == jnp kv path, fwd + grads."""
+    import dataclasses
+    from transformer_gan_tpu.ops import pallas_attention as pa
+    monkeypatch.setattr(pa, "INTERPRET", True)
+
+    cfg = _make_cfg()
+    base = xl.XLConfig.from_cfg(cfg, 310)
+    xcfg_kv = dataclasses.replace(base, cache_kv=True, use_pallas=False)
+    xcfg_pl = dataclasses.replace(base, cache_kv=True, use_pallas=True)
+    params = xl.init_xl_params(xcfg_kv, seed=13)
+
+    rng = np.random.RandomState(6)
+    data = jnp.asarray(rng.randint(0, 310, (16, 2)))
+    target = jnp.asarray(rng.randint(0, 310, (16, 2)))
+    reset = jnp.asarray(np.array([True, False]))
+
+    mems_a = xl.init_mems(xcfg_kv, 32, 2)
+    mems_b = xl.init_mems(xcfg_pl, 32, 2)
+    # advance one step so count > 0 and memory is non-trivial
+    _, mems_a = xl.forward_nll(params, xcfg_kv, data, target, None, mems_a)
+    _, mems_b = xl.forward_nll(params, xcfg_pl, data, target, None, mems_b)
+
+    def loss(p, c, m):
+        nll, _ = xl.forward_nll(p, c, data, target, reset, m,
+                                same_length=True)
+        return nll.mean()
+
+    la = loss(params, xcfg_kv, mems_a)
+    lb = loss(params, xcfg_pl, mems_b)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-5, atol=1e-6)
+
+    ga = jax.grad(lambda p: loss(p, xcfg_kv, mems_a))(params)
+    gb = jax.grad(lambda p: loss(p, xcfg_pl, mems_b))(params)
+    fa = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(ga)])
+    fb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(gb)])
+    np.testing.assert_allclose(fb, fa, rtol=5e-4, atol=1e-6)

@@ -50,6 +50,7 @@ class XLConfig:
     compute_dtype: str = "float32"
     softmax_dtype: str = "float32"
     cache_kv: bool = False  # memory holds projected K/V instead of hiddens
+    use_pallas: bool = False  # fused attention kernel (needs cache_kv)
 
     @property
     def d_head(self) -> int:
@@ -80,6 +81,9 @@ class XLConfig:
             compute_dtype=cfg.TPU.compute_dtype,
             softmax_dtype=cfg.TPU.softmax_dtype,
             cache_kv=cfg.TPU.cache_kv,
+            # the fused kernel is TPU-only; CPU (tests, dryruns) falls back
+            use_pallas=(cfg.TPU.use_pallas_attention and cfg.TPU.cache_kv
+                        and jax.default_backend() == "tpu"),
         )
 
 
@@ -233,13 +237,32 @@ def build_attn_mask(qlen: int, mem_len: int, count, reset_mems,
 
 
 def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
-                  r_w_bias, r_r_bias, attn_mask, rng, train):
+                  r_w_bias, r_r_bias, attn_mask, rng, train,
+                  attn_count=None, reset_mems=None, same_length=False):
     """One RelPartialLearnableDecoderLayer (attention + position-wise FF;
     reference mem_transformer.py:261-281)."""
     r_att, r_o, r_f1, r_f2 = (jax.random.split(rng, 4) if train
                               else (None,) * 4)
     kv_cur = None
-    if cfg.cache_kv:
+    use_fused = (cfg.cache_kv and cfg.use_pallas
+                 and core_out.shape[0] >= 8)
+    if use_fused:
+        from ..ops.pallas_attention import rel_attention_kv_fused
+        if cfg.pre_lnorm:
+            w_in = layer_norm(core_out, layer["attn_ln_scale"],
+                              layer["attn_ln_bias"])
+        else:
+            w_in = core_out
+        attn_vec, k_cur, v_cur = rel_attention_kv_fused(
+            w_in, mems_i[0], mems_i[1], pos_emb,
+            layer["qkv_w"].astype(cfg.cdtype),
+            layer["r_w"].astype(cfg.cdtype),
+            r_w_bias, r_r_bias, attn_count, reset_mems,
+            cfg.n_head, cfg.d_head, same_length=same_length,
+            dropatt=cfg.dropatt,
+            dropatt_rng=r_att if train else None)
+        kv_cur = (k_cur, v_cur)
+    elif cfg.cache_kv:
         from .attention import rel_attention_kv
         if cfg.pre_lnorm:
             w_in = layer_norm(core_out, layer["attn_ln_scale"],
@@ -341,13 +364,16 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     kvs = []
     layer_fn = decoder_layer
     if remat:
+        # cfg, train flag and same_length stay static (they gate python
+        # branches and pallas cache keys)
         layer_fn = jax.checkpoint(
-            decoder_layer, static_argnums=(1,), policy=None)
+            decoder_layer, static_argnums=(1, 9, 12), policy=None)
     for i in range(cfg.n_layer):
         mems_i = mems.hids[i].astype(cfg.cdtype)
         core_out, kv_cur = layer_fn(
             params["layers"][i], cfg, core_out, mems_i, pos_emb,
-            r_w_bias, r_r_bias, attn_mask, rngs[i], train)
+            r_w_bias, r_r_bias, attn_mask, rngs[i], train,
+            mems.count, reset_mems, same_length)
         hids.append(core_out)
         kvs.append(kv_cur)
 
