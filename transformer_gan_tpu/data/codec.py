@@ -20,6 +20,7 @@ import os
 import numpy as np
 
 from . import midi as midi_io
+from . import native
 from . import performance as perf
 from . import sequences as seq_lib
 from .midi import NoteSequence
@@ -179,15 +180,44 @@ class PerformanceEventRepo:
         return [self.encode_event(e) for e in events]
 
     def encode(self, input_midi: str | None) -> list[int]:
-        """MIDI path -> token ids (reference :205-221)."""
+        """MIDI path -> token ids (reference :205-221). Uses the native C++
+        encoder when built (bit-exact; pure Python is the fallback)."""
+        if input_midi and self._default_grid():
+            with open(input_midi, "rb") as f:
+                data = f.read()
+            ids = native.encode_midi(data, pitch_filter=True)
+            if ids is not None:
+                return ids.tolist()
         ns = self._load_midi(input_midi)
         self.filter_pitches(ns)
         return self.encode_note_sequence(ns)
 
+    def _default_grid(self) -> bool:
+        """Native fast path covers the default codec parameters."""
+        return (self._steps_per_second == 100
+                and self._num_velocity_bins == 32
+                and self.min_pitch == MIN_PITCH
+                and self.max_pitch == MAX_PITCH)
+
     def encode_transposition(self, input_midi: str | None):
         """Yield one encoding per (stretch, transpose) pair (reference
         :180-203). Note: the reference does NOT pitch-filter here; range
-        enforcement comes from the transpose bounds."""
+        enforcement comes from the transpose bounds. The native grid
+        encoder parses the MIDI once for the whole grid."""
+        if (input_midi and self._default_grid()
+                and self.transpose_amounts
+                and self.transpose_amounts == list(range(
+                    self.transpose_amounts[0],
+                    self.transpose_amounts[-1] + 1))):
+            with open(input_midi, "rb") as f:
+                data = f.read()
+            grid = native.encode_midi_grid(
+                data, self.stretch_factors, self.transpose_amounts[0],
+                self.transpose_amounts[-1])
+            if grid is not None:
+                for ids in grid:
+                    yield ids.tolist()
+                return
         ns = self._load_midi(input_midi)
         for augment_fn in self.augment_fns:
             try:
