@@ -128,6 +128,18 @@ class Trainer:
                 cfg.TRAIN.load_from_previous, self.state.params)
             self.state = self.state._replace(params=params)
 
+        # place state/batches on the data mesh (GSPMD shards the batch
+        # axis; params replicate; gradient all-reduce is implicit)
+        self.multi_device = int(self.n_devices) > 1
+        if self.multi_device:
+            from ..parallel import sharding as psh
+            self.state = psh.place_train_state(self.state, self.mesh)
+            self._place_batch = lambda d, t, r: psh.place_batch(
+                self.mesh, d, t, r)
+        else:
+            self._place_batch = lambda d, t, r: (
+                jnp.asarray(d), jnp.asarray(t), jnp.asarray(r))
+
         self.train_step_fn = tstep.make_mle_train_step(
             self.xcfg, self.optimizer, cfg.TRAIN.batch_chunk,
             self.vocab.pad_id, use_mle=cfg.TRAIN.use_mle,
@@ -312,11 +324,11 @@ class Trainer:
                 self.gan.temperature = 1.0 / beta
 
             bc = cfg.TRAIN.batch_chunk
-            self.state, metrics = self.train_step_fn(
-                self.state,
-                jnp.asarray(tstep.chunk_batch(data, bc)),
-                jnp.asarray(tstep.chunk_batch(target, bc)),
-                jnp.asarray(tstep.chunk_rows(reset_mems, bc)))
+            batch = self._place_batch(
+                tstep.chunk_batch(data, bc),
+                tstep.chunk_batch(target, bc),
+                tstep.chunk_rows(reset_mems, bc))
+            self.state, metrics = self.train_step_fn(self.state, *batch)
 
             # GAN phases (reference train.py:924-1090)
             if (self.gan is not None

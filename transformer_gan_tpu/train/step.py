@@ -31,7 +31,7 @@ class TrainState(NamedTuple):
 
 def init_train_state(params, optimizer, xcfg: xl.XLConfig, batch_chunk: int,
                      mem_len: int, bsz_chunk: int, seed: int,
-                     rng_impl: str = "threefry") -> TrainState:
+                     rng_impl: str = "threefry2x32") -> TrainState:
     mems1 = xl.init_mems(xcfg, mem_len, bsz_chunk)
     mems = xl.XLMems(
         hids=jnp.broadcast_to(
