@@ -155,7 +155,7 @@ def init_cnn_params(cfg: CnnConfig, seed: int = 0) -> dict:
     def t(shape):
         return _init_tensor(rng, shape, cfg.init)
 
-    emb = np.asarray(t((cfg.vocab_size, cfg.embed_dim)))
+    emb = np.array(t((cfg.vocab_size, cfg.embed_dim)))
     emb[cfg.padding_idx] = 0.0  # nn.Embedding(padding_idx=...) zeroes it
     params: dict[str, Any] = {
         "embeddings": jnp.asarray(emb),
@@ -193,3 +193,89 @@ def cnn_logits(params, cfg: CnnConfig, input_ids, *, train=False, rng=None):
         keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, feat.shape)
         feat = jnp.where(keep, feat / (1.0 - cfg.dropout), 0.0)
     return feat @ params["feature2out_w"] + params["feature2out_b"]
+
+
+# ---------------------------------------------------------------------------
+# GRU discriminator (reference model/discriminator.py:85-149 — an unused
+# alternative in the reference; provided for inventory completeness)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GruConfig:
+    embedding_dim: int = 64
+    vocab_size: int = 310
+    hidden_dim: int = 64
+    feature_dim: int = 64
+    padding_idx: int = 1
+    dropout: float = 0.2
+
+
+def init_gru_params(cfg: GruConfig, seed: int = 0) -> dict:
+    rng = np.random.RandomState(seed)
+
+    def t(shape):
+        return _init_tensor(rng, shape, "uniform")
+
+    emb = np.array(t((cfg.vocab_size, cfg.embedding_dim)))
+    emb[cfg.padding_idx] = 0.0
+    h, e = cfg.hidden_dim, cfg.embedding_dim
+    params = {"embeddings": jnp.asarray(emb), "layers": []}
+    # 2 layers x 2 directions of GRU cells (torch nn.GRU layout:
+    # w_ih [3h, in], w_hh [3h, h], gates ordered r, z, n)
+    for layer in range(2):
+        in_dim = e if layer == 0 else 2 * h
+        for _ in range(2):  # fwd, bwd
+            params["layers"].append({
+                "w_ih": t((3 * h, in_dim)), "b_ih": t((3 * h,)),
+                "w_hh": t((3 * h, h)), "b_hh": t((3 * h,)),
+            })
+    params["gru2hidden_w"] = t((2 * 2 * h, cfg.feature_dim))
+    params["gru2hidden_b"] = t((cfg.feature_dim,))
+    params["feature2out_w"] = t((cfg.feature_dim, 2))
+    params["feature2out_b"] = t((2,))
+    return params
+
+
+def _gru_direction(cell, x, reverse: bool):
+    """x: [seq, bsz, in] -> (outputs [seq, bsz, h], final h [bsz, h])."""
+    h_dim = cell["w_hh"].shape[1]
+    if reverse:
+        x = x[::-1]
+
+    def step(h, xt):
+        gi = xt @ cell["w_ih"].T + cell["b_ih"]
+        gh = h @ cell["w_hh"].T + cell["b_hh"]
+        ir, iz, inn = jnp.split(gi, 3, -1)
+        hr, hz, hn = jnp.split(gh, 3, -1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(inn + r * hn)
+        h_new = (1 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((x.shape[1], h_dim), x.dtype)
+    h_last, outs = jax.lax.scan(step, h0, x)
+    if reverse:
+        outs = outs[::-1]
+    return outs, h_last
+
+
+def gru_logits(params, cfg: GruConfig, input_ids, *, train=False, rng=None):
+    """[bsz, seq] ids -> [bsz, 2] logits (reference GRUDiscriminator)."""
+    emb = params["embeddings"][input_ids].transpose(1, 0, 2)  # [seq,bsz,e]
+    finals = []
+    x = emb
+    for layer in range(2):
+        fwd_cell = params["layers"][2 * layer]
+        bwd_cell = params["layers"][2 * layer + 1]
+        of, hf = _gru_direction(fwd_cell, x, reverse=False)
+        ob, hb = _gru_direction(bwd_cell, x, reverse=True)
+        x = jnp.concatenate([of, ob], axis=-1)
+        finals += [hf, hb]
+    hidden = jnp.concatenate(finals, axis=-1)  # [bsz, 4h]
+    feature = jnp.tanh(hidden @ params["gru2hidden_w"]
+                       + params["gru2hidden_b"])
+    if train and rng is not None and cfg.dropout > 0:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, feature.shape)
+        feature = jnp.where(keep, feature / (1.0 - cfg.dropout), 0.0)
+    return feature @ params["feature2out_w"] + params["feature2out_b"]

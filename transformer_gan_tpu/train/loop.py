@@ -143,7 +143,8 @@ class Trainer:
         self.train_step_fn = tstep.make_mle_train_step(
             self.xcfg, self.optimizer, cfg.TRAIN.batch_chunk,
             self.vocab.pad_id, use_mle=cfg.TRAIN.use_mle,
-            remat=cfg.TPU.remat, donate=cfg.TPU.donate)
+            remat=cfg.TPU.remat, donate=cfg.TPU.donate,
+            same_length=cfg.MODEL.same_length)
         self.eval_step_fn = tstep.make_eval_step(self.xcfg,
                                                  self.vocab.pad_id)
 
@@ -226,9 +227,11 @@ class Trainer:
              status_vec) in eval_iter():
             if reset_all:
                 mems = tstep.reset_eval_mems(mems)
+            sv = (jnp.asarray(status_vec) if status_vec is not None
+                  else None)
             nll_sum, cnt, mems = self.eval_step_fn(
                 self.state.params, jnp.asarray(data), jnp.asarray(target),
-                mems)
+                mems, sv)
             total_nll += float(nll_sum)
             total_token_num += int(cnt)
 
@@ -328,7 +331,16 @@ class Trainer:
                 tstep.chunk_batch(data, bc),
                 tstep.chunk_batch(target, bc),
                 tstep.chunk_rows(reset_mems, bc))
-            self.state, metrics = self.train_step_fn(self.state, *batch)
+            if status_vec is not None:
+                # [tgt, bsz, 88] -> [C, tgt, bsz_c, 88]
+                sv = status_vec.reshape(
+                    status_vec.shape[0], bc, -1, status_vec.shape[2]
+                ).swapaxes(0, 1)
+                self.state, metrics = self.train_step_fn(
+                    self.state, *batch, jnp.asarray(sv))
+            else:
+                self.state, metrics = self.train_step_fn(
+                    self.state, *batch)
 
             # GAN phases (reference train.py:924-1090)
             if (self.gan is not None

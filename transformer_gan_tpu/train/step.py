@@ -65,7 +65,8 @@ def chunk_rows(x, batch_chunk: int):
 
 def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
                         pad_id: int, use_mle: bool = True,
-                        remat: bool = False, donate: bool = True):
+                        remat: bool = False, donate: bool = True,
+                        same_length: bool = False):
     """Build the jitted MLE step.
 
     Returns fn(state, data [C,tgt,bsz_c], target [C,tgt,bsz_c],
@@ -75,10 +76,12 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
     gradients summed over chunks.
     """
 
-    def chunk_loss(params, data_c, target_c, reset_c, mems_c, rng_c):
+    def chunk_loss(params, data_c, target_c, reset_c, mems_c, rng_c,
+                   status_c):
         nll, new_mems = xl.forward_nll(
             params, xcfg, data_c, target_c, reset_c, mems_c,
-            train=True, rng=rng_c, remat=remat)
+            status_vec=status_c,
+            train=True, rng=rng_c, remat=remat, same_length=same_length)
         mask = (target_c != pad_id)
         cnt = mask.sum()
         mean = jnp.where(cnt > 0,
@@ -87,18 +90,23 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
 
     grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
 
-    def train_step(state: TrainState, data_c, target_c, reset_c):
+    def train_step(state: TrainState, data_c, target_c, reset_c,
+                   status_c=None):
         step_rng = jax.random.fold_in(state.rng, state.step)
         rngs = jax.random.split(step_rng, batch_chunk)
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        if status_c is None:
+            # placeholder scanned alongside (append_note_status off)
+            status_c = jnp.zeros((batch_chunk, 1), jnp.int8)
 
         def body(carry, xs):
             grads_acc, loss_w_sum, tok_sum = carry
-            d, t, r, mems_h, mems_c, rng_c = xs
+            d, t, r, mems_h, mems_c, rng_c, sv = xs
             mems = xl.XLMems(hids=mems_h, count=mems_c)
+            sv_in = sv if xcfg.append_note_status else None
             (_, (new_mems, cnt, mean)), grads = grad_fn(
-                state.params, d, t, r, mems, rng_c)
+                state.params, d, t, r, mems, rng_c, sv_in)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             loss_w_sum = loss_w_sum + mean * cnt
             tok_sum = tok_sum + cnt
@@ -109,7 +117,7 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
             (zero_grads, jnp.zeros((), jnp.float32),
              jnp.zeros((), jnp.int32)),
             (data_c, target_c, reset_c, state.mems.hids, state.mems.count,
-             rngs))
+             rngs, status_c))
 
         if use_mle:
             grad_norm = global_grad_norm(grads)
@@ -139,9 +147,9 @@ def make_eval_step(xcfg: xl.XLConfig, pad_id: int):
     (reference evaluate(), train.py:747-779)."""
 
     @jax.jit
-    def eval_step(params, data, target, mems):
+    def eval_step(params, data, target, mems, status_vec=None):
         nll, new_mems = xl.forward_nll(
-            params, xcfg, data, target, None, mems,
+            params, xcfg, data, target, None, mems, status_vec=status_vec,
             same_length=True, train=False)
         mask = (target != pad_id)
         nll_sum = jnp.where(mask, nll, 0.0).sum()
