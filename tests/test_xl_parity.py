@@ -256,7 +256,10 @@ def test_kv_cache_path_matches_hidden_path():
 
 
 def test_pallas_fused_attention_matches_jnp(monkeypatch):
-    """Fused kernel (interpret mode on CPU) == jnp kv path, fwd + grads."""
+    """v1 fused kernel (interpret mode on CPU) == jnp kv path, fwd+grads.
+
+    qlen 12 (>= 8, not a multiple of 8) exercises the v1 fallback path
+    specifically (v2 handles multiples of 8)."""
     import dataclasses
     from transformer_gan_tpu.ops import pallas_attention as pa
     monkeypatch.setattr(pa, "INTERPRET", True)
@@ -268,13 +271,55 @@ def test_pallas_fused_attention_matches_jnp(monkeypatch):
     params = xl.init_xl_params(xcfg_kv, seed=13)
 
     rng = np.random.RandomState(6)
-    data = jnp.asarray(rng.randint(0, 310, (16, 2)))
-    target = jnp.asarray(rng.randint(0, 310, (16, 2)))
+    data = jnp.asarray(rng.randint(0, 310, (12, 2)))
+    target = jnp.asarray(rng.randint(0, 310, (12, 2)))
     reset = jnp.asarray(np.array([True, False]))
 
     mems_a = xl.init_mems(xcfg_kv, 32, 2)
     mems_b = xl.init_mems(xcfg_pl, 32, 2)
     # advance one step so count > 0 and memory is non-trivial
+    _, mems_a = xl.forward_nll(params, xcfg_kv, data, target, None, mems_a)
+    _, mems_b = xl.forward_nll(params, xcfg_pl, data, target, None, mems_b)
+
+    def loss(p, c, m):
+        nll, _ = xl.forward_nll(p, c, data, target, reset, m,
+                                same_length=True)
+        return nll.mean()
+
+    la = loss(params, xcfg_kv, mems_a)
+    lb = loss(params, xcfg_pl, mems_b)
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-5, atol=1e-6)
+
+    ga = jax.grad(lambda p: loss(p, xcfg_kv, mems_a))(params)
+    gb = jax.grad(lambda p: loss(p, xcfg_pl, mems_b))(params)
+    fa = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(ga)])
+    fb = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(gb)])
+    np.testing.assert_allclose(fb, fa, rtol=5e-4, atol=1e-6)
+
+
+def test_pallas_v2_fused_attention_matches_jnp(monkeypatch):
+    """v2 kernel (in-kernel position term) == jnp kv path, fwd + grads."""
+    import dataclasses
+    from transformer_gan_tpu.ops import pallas_attention as pa
+    from transformer_gan_tpu.ops import pallas_attention_v2 as pa2
+    monkeypatch.setattr(pa, "INTERPRET", True)
+    monkeypatch.setattr(pa2, "INTERPRET", True)
+
+    cfg = _make_cfg()
+    base = xl.XLConfig.from_cfg(cfg, 310)
+    xcfg_kv = dataclasses.replace(base, cache_kv=True, use_pallas=False)
+    xcfg_pl = dataclasses.replace(base, cache_kv=True, use_pallas=True)
+    params = xl.init_xl_params(xcfg_kv, seed=21)
+
+    rng = np.random.RandomState(8)
+    data = jnp.asarray(rng.randint(0, 310, (16, 2)))   # qlen 16 % 8 == 0
+    target = jnp.asarray(rng.randint(0, 310, (16, 2)))
+    reset = jnp.asarray(np.array([False, True]))
+
+    mems_a = xl.init_mems(xcfg_kv, 32, 2)
+    mems_b = xl.init_mems(xcfg_pl, 32, 2)
     _, mems_a = xl.forward_nll(params, xcfg_kv, data, target, None, mems_a)
     _, mems_b = xl.forward_nll(params, xcfg_pl, data, target, None, mems_b)
 

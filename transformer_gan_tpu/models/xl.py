@@ -247,7 +247,12 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
     use_fused = (cfg.cache_kv and cfg.use_pallas
                  and core_out.shape[0] >= 8)
     if use_fused:
-        from ..ops.pallas_attention import rel_attention_kv_fused
+        if core_out.shape[0] % 8 == 0:
+            # v2: position term computed in-kernel (no HBM score tensors)
+            from ..ops.pallas_attention_v2 import (
+                rel_attention_kv_fused_v2 as rel_attention_kv_fused)
+        else:
+            from ..ops.pallas_attention import rel_attention_kv_fused
         if cfg.pre_lnorm:
             w_in = layer_norm(core_out, layer["attn_ln_scale"],
                               layer["attn_ln_bias"])

@@ -1,0 +1,365 @@
+"""Fully-fused XL attention kernels: position term computed in-kernel.
+
+v1 (pallas_attention.py) precomputes the relative-position score term BD
+in XLA (einsum + pad-reshape rel-shift) — measured at ~48% of the training
+step (score-sized HBM tensors). v2 moves it into the kernel using the
+identity
+
+    BD[i, j] = W[i, (q-1-i) + j],   W = q_rr @ R^T
+
+where R is the per-head projected positional embedding zero-padded with q
+rows (distance of column c is klen-1-c, so the pad-reshape "rel-shift" is
+just a per-row window into the SAME matmul the unshifted term uses). The
+per-row window is extracted with 8-row blocks x 8 static lane-shifted
+slices — pure VMEM traffic. Nothing score-sized ever touches HBM, forward
+or backward.
+
+Grid is (head, batch) — batch innermost so the backward's dR accumulator
+block stays resident in VMEM across the batch sweep (standard revisited-
+output accumulation).
+
+Requires qlen % 8 == 0 (callers fall back to v1/jnp otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_attention import NEG, _mask_block
+
+INTERPRET = False
+
+_ROWS = 8  # q-block height for the shift extraction (sublane tile)
+
+
+def _row_shift(x, qlen, left: bool):
+    """Shift row i of x by t(i) = qlen-1-i lanes (left or right), circular.
+
+    Row i = 8*b + a decomposes t = 8*(qlen//8 - 1 - b) + (7 - a): the lane
+    phase depends only on the sublane position a and the coarse part only
+    on the row block b — so the per-row shift is 8 + qlen/8 uniform
+    ``pltpu.roll``s combined with row-mask selects (Mosaic-friendly; no
+    unaligned slicing)."""
+    KP = x.shape[1]
+    row_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    sign = -1 if left else 1
+
+    # fine phase: t_lo = 7 - (i % 8)
+    fine = jnp.zeros_like(x)
+    for a in range(_ROWS):
+        t_lo = _ROWS - 1 - a
+        rolled = pltpu.roll(x, (sign * t_lo) % KP, 1)
+        fine = jnp.where(row_id % _ROWS == a, rolled, fine)
+
+    # coarse: t_hi8 = 8 * (qlen//8 - 1 - b)
+    out = jnp.zeros_like(x)
+    nb = qlen // _ROWS
+    for b in range(nb):
+        t_hi = _ROWS * (nb - 1 - b)
+        rolled = pltpu.roll(fine, (sign * t_hi) % KP, 1)
+        out = jnp.where(row_id // _ROWS == b, rolled, out)
+    return out
+
+
+def _extract_bd(w_mat, qlen, klen):
+    """BD[i, j] = w_mat[i, (qlen-1-i)+j] (left row-shift then crop).
+
+    Circular wrap is harmless: wrapped lanes land only on masked
+    (j > mem_len + i) positions."""
+    return _row_shift(w_mat, qlen, left=True)[:, :klen]
+
+
+def _scatter_bd(ds, qlen, klen):
+    """Transpose of _extract_bd: dW[i, (qlen-1-i)+j] = ds[i, j],
+    dW [qlen, klen+qlen]. ds is zero on masked positions, so the circular
+    wrap deposits only zeros."""
+    KP = klen + qlen
+    padded = jnp.concatenate(
+        [ds, jnp.zeros((qlen, KP - klen), ds.dtype)], axis=1)
+    return _row_shift(padded, qlen, left=False)
+
+
+def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
+                v_ref, rk_ref, o_ref, m_ref, l_ref, *, scale, mem_len,
+                same_length, dropatt):
+    ih = pl.program_id(0)
+    ib = pl.program_id(1)
+    qlen = qrw_ref.shape[2]
+    klen = k_ref.shape[2]
+
+    qrw = qrw_ref[0, 0].astype(jnp.float32)       # [q, dh]
+    qrr = qrr_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)           # [klen, dh]
+    rk = rk_ref[0].astype(jnp.float32)            # [KP, dh]
+
+    ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    w_mat = jax.lax.dot_general(qrr, rk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    bd = _extract_bd(w_mat, qlen, klen)
+    s = (ac + bd) * scale
+
+    count = count_ref[0]
+    reset_b = reset_ref[ib] != 0
+    mask = _mask_block(qlen, klen, mem_len, count, reset_b, same_length)
+    s = jnp.where(mask, NEG, s)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = p / l
+
+    if dropatt > 0.0:
+        from .pallas_attention import _dropout_keep
+        keep = _dropout_keep(seed_ref[0],
+                             ih * pl.num_programs(1) + ib, p.shape, dropatt)
+        p = jnp.where(keep, p / (1.0 - dropatt), 0.0)
+
+    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    m_ref[0, 0, 0] = m[:, 0]
+    l_ref[0, 0, 0] = l[:, 0]
+
+
+def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
+                v_ref, rk_ref, m_ref, l_ref, do_ref,
+                dqrw_ref, dqrr_ref, dk_ref, dv_ref, drk_ref,
+                *, scale, mem_len, same_length, dropatt):
+    ih = pl.program_id(0)
+    ib = pl.program_id(1)
+    qlen = qrw_ref.shape[2]
+    klen = k_ref.shape[2]
+
+    qrw = qrw_ref[0, 0].astype(jnp.float32)
+    qrr = qrr_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    rk = rk_ref[0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    w_mat = jax.lax.dot_general(qrr, rk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s = (ac + _extract_bd(w_mat, qlen, klen)) * scale
+    count = count_ref[0]
+    reset_b = reset_ref[ib] != 0
+    mask = _mask_block(qlen, klen, mem_len, count, reset_b, same_length)
+    s = jnp.where(mask, NEG, s)
+    p = (jnp.exp(s - m_ref[0, 0, 0][:, None])
+         / l_ref[0, 0, 0][:, None])
+
+    if dropatt > 0.0:
+        from .pallas_attention import _dropout_keep
+        keep = _dropout_keep(seed_ref[0],
+                             ih * pl.num_programs(1) + ib, p.shape, dropatt)
+        p_drop = jnp.where(keep, p / (1.0 - dropatt), 0.0)
+    else:
+        p_drop = p
+
+    dv = jax.lax.dot_general(p_drop, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if dropatt > 0.0:
+        dp = jnp.where(keep, dp / (1.0 - dropatt), 0.0)
+    dsum = jnp.sum(dp * p, axis=1, keepdims=True)
+    ds = p * (dp - dsum) * scale                   # [q, klen]
+
+    dqrw = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, qrw, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dw = _scatter_bd(ds, qlen, klen)               # [q, KP]
+    dqrr = jax.lax.dot_general(dw, rk, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    drk = jax.lax.dot_general(dw, qrr, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dqrw_ref[0, 0] = dqrw.astype(dqrw_ref.dtype)
+    dqrr_ref[0, 0] = dqrr.astype(dqrr_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    # dR accumulates over the batch sweep (grid iterates batch innermost,
+    # so this h's block stays resident between steps).
+    @pl.when(ib == 0)
+    def _():
+        drk_ref[0] = drk.astype(drk_ref.dtype)
+
+    @pl.when(ib > 0)
+    def _():
+        drk_ref[0] = drk_ref[0] + drk.astype(drk_ref.dtype)
+
+
+def _hb4(shape):
+    return pl.BlockSpec((1, 1) + shape, lambda ih, ib, *_: (ih, ib, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _h3(shape):
+    return pl.BlockSpec((1,) + shape, lambda ih, ib, *_: (ih, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale, same_length,
+             dropatt):
+    H, B, qlen, dh = qrw.shape
+    klen = k.shape[2]
+    mem_len = klen - qlen
+    kernel = functools.partial(_fwd_kernel, scale=scale, mem_len=mem_len,
+                               same_length=same_length, dropatt=dropatt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, B),
+        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
+                  _hb4((klen, dh)), _h3((klen + qlen, dh))],
+        out_specs=[
+            _hb4((qlen, dh)),
+            pl.BlockSpec((1, 1, 1, qlen),
+                         lambda ih, ib, *_: (ih, ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, qlen),
+                         lambda ih, ib, *_: (ih, ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, interpret=INTERPRET,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, B, qlen, dh), jnp.float32),
+            jax.ShapeDtypeStruct((H, B, 1, qlen), jnp.float32),
+            jax.ShapeDtypeStruct((H, B, 1, qlen), jnp.float32),
+        ],
+    )(count, reset, seed, qrw, qrr, k, v, rk)
+
+
+def _bwd_raw(qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
+             same_length, dropatt):
+    H, B, qlen, dh = qrw.shape
+    klen = k.shape[2]
+    mem_len = klen - qlen
+    kernel = functools.partial(_bwd_kernel, scale=scale, mem_len=mem_len,
+                               same_length=same_length, dropatt=dropatt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, B),
+        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
+                  _hb4((klen, dh)), _h3((klen + qlen, dh)),
+                  pl.BlockSpec((1, 1, 1, qlen),
+                               lambda ih, ib, *_: (ih, ib, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 1, qlen),
+                               lambda ih, ib, *_: (ih, ib, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  _hb4((qlen, dh))],
+        out_specs=[
+            _hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
+            _hb4((klen, dh)), _h3((klen + qlen, dh)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, interpret=INTERPRET,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, B, qlen, dh), qrw.dtype),
+            jax.ShapeDtypeStruct((H, B, qlen, dh), qrr.dtype),
+            jax.ShapeDtypeStruct((H, B, klen, dh), k.dtype),
+            jax.ShapeDtypeStruct((H, B, klen, dh), v.dtype),
+            jax.ShapeDtypeStruct((H, klen + qlen, dh), jnp.float32),
+        ],
+    )(count, reset, seed, qrw, qrr, k, v, rk, m, l, do)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_attention_v2(scale: float, same_length: bool,
+                            dropatt: float = 0.0):
+    """fn(qrw, qrr, k, v, rk, count, reset, seed) -> o [H, B, q, dh] fp32.
+
+    qrw/qrr: [H, B, q, dh] (q + r_w_bias / q + r_r_bias), k/v: [H, B,
+    klen, dh], rk: [H, klen+q, dh] per-head projected positional
+    embeddings zero-padded with q rows.
+    """
+
+    @jax.custom_vjp
+    def fused(qrw, qrr, k, v, rk, count, reset, seed):
+        o, _, _ = _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale,
+                           same_length, dropatt)
+        return o
+
+    def fwd(qrw, qrr, k, v, rk, count, reset, seed):
+        o, m, l = _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale,
+                           same_length, dropatt)
+        return o, (qrw, qrr, k, v, rk, m, l, count, reset, seed)
+
+    def bwd(res, do):
+        qrw, qrr, k, v, rk, m, l, count, reset, seed = res
+        dqrw, dqrr, dk, dv, drk = _bwd_raw(
+            qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
+            same_length, dropatt)
+        return (dqrw, dqrr, dk, dv, drk.astype(rk.dtype),
+                jnp.zeros_like(count), jnp.zeros_like(reset),
+                jnp.zeros_like(seed))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
+                              r_r_bias, attn_count, reset_rows, n_head,
+                              d_head, *, same_length: bool,
+                              dropatt: float = 0.0, dropatt_rng=None):
+    """Drop-in fused variant with the position term computed in-kernel.
+
+    Same contract as attention.rel_attention_kv. Requires qlen % 8 == 0.
+    """
+    qlen, bsz = w.shape[0], w.shape[1]
+    mem_len = k_mem.shape[2]
+    klen = mem_len + qlen
+    scale = 1.0 / (d_head ** 0.5)
+
+    w_heads = w @ qkv_w
+    q, k_cur, v_cur = jnp.split(w_heads, 3, axis=-1)
+    q = q.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
+    k = jnp.concatenate([k_mem, k_cur], axis=2)
+    v = jnp.concatenate([v_mem, v_cur], axis=2)
+
+    # per-head projected positional embeddings, zero-padded with q rows
+    r_head_k = (r @ r_w).reshape(klen, n_head, d_head).transpose(1, 0, 2)
+    rk = jnp.concatenate(
+        [r_head_k, jnp.zeros((n_head, qlen, d_head), r_head_k.dtype)],
+        axis=1)  # [h, klen+q, dh]
+
+    qrw = (q + r_w_bias.astype(q.dtype)[None, :, None, :]).transpose(
+        1, 0, 2, 3)  # [h, b, q, dh]
+    qrr = (q + r_r_bias.astype(q.dtype)[None, :, None, :]).transpose(
+        1, 0, 2, 3)
+    k_hb = k.transpose(1, 0, 2, 3)
+    v_hb = v.transpose(1, 0, 2, 3)
+
+    if reset_rows is None:
+        reset = jnp.zeros((bsz,), jnp.int32)
+    else:
+        reset = reset_rows.astype(jnp.int32)
+    count = attn_count.reshape(1).astype(jnp.int32)
+    rate = dropatt if dropatt_rng is not None else 0.0
+    if dropatt_rng is not None:
+        seed = jax.random.randint(dropatt_rng, (1,), 0, 2 ** 31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    fused = make_fused_attention_v2(scale, same_length, rate)
+    o = fused(qrw, qrr, k_hb, v_hb, rk, count, reset, seed)
+    # [h, b, q, dh] -> [q, b, h*dh]
+    attn_vec = o.transpose(2, 1, 0, 3).reshape(qlen, bsz, n_head * d_head)
+    return attn_vec.astype(w.dtype), k_cur, v_cur
