@@ -150,15 +150,12 @@ def main(inference_cfg):
             seq = seq + conditional_data[:num_conditional_tokens]
 
         if inference_cfg.GENERATION.duration_based:
+            # data-dependent stop: host loop over the jitted single step
             duration = 0.0
             generation_length = inference_cfg.GENERATION.max_generation_length
-        else:
-            generation_length = inference_cfg.GENERATION.generation_length
-
-        empty_run = jnp.zeros((1,), jnp.int32)
-        token = jnp.asarray([seq[-1]], jnp.int32)
-        for i in range(generation_length):
-            if inference_cfg.GENERATION.duration_based:
+            empty_run = jnp.zeros((1,), jnp.int32)
+            token = jnp.asarray([seq[-1]], jnp.int32)
+            for i in range(generation_length):
                 token_duration = get_duration_from_token(
                     inference_cfg.EVENT.event_representation, seq[-1],
                     tokens_list)
@@ -166,10 +163,19 @@ def main(inference_cfg):
                     duration += token_duration
                 if duration >= inference_cfg.GENERATION.generation_duration:
                     break
-            rng, step_rng = jax.random.split(rng)
-            token, mems, empty_run = decode_step(
-                params, mems, token, empty_run, step_rng)
-            seq.append(int(token[0]))
+                rng, step_rng = jax.random.split(rng)
+                token, mems, empty_run = decode_step(
+                    params, mems, token, empty_run, step_rng)
+                seq.append(int(token[0]))
+        else:
+            # fixed length: whole generation as one on-device lax.scan
+            # (~10x faster than the per-token host loop on the tunnel)
+            generation_length = inference_cfg.GENERATION.generation_length
+            rng, scan_rng = jax.random.split(rng)
+            tokens, mems = sampling.sample_scan_jit(
+                params, xcfg, scfg, jnp.asarray([seq[-1]], jnp.int32),
+                mems, generation_length, scan_rng)
+            seq.extend(int(t) for t in np.asarray(tokens)[:, 0])
 
         with open(out_fp, "w") as f:
             f.write("\n".join(tokens_list[t] for t in seq[1:]))

@@ -1,0 +1,93 @@
+"""Sampling semantics: filters, suppression, scan/host-loop agreement."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from transformer_gan_tpu.infer import sample as sampling  # noqa: E402
+from transformer_gan_tpu.models import xl  # noqa: E402
+
+
+def _sample_dist(scfg, logits, n=4000, empty_run=0, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    draw = jax.jit(jax.vmap(
+        lambda k: sampling._filter_and_sample(
+            logits, scfg, jnp.asarray(empty_run), k)))
+    return np.bincount(np.asarray(draw(keys)), minlength=logits.shape[0])
+
+
+def test_topk_filter_restricts_support():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(310) * 2)
+    scfg = sampling.SamplingConfig(technique="topk", topk=5,
+                                   temperature=1.0, exclude_bos=False)
+    counts = _sample_dist(scfg, logits)
+    top5 = set(np.argsort(np.asarray(logits))[-5:])
+    assert set(np.nonzero(counts)[0]).issubset(top5)
+
+
+def test_nucleus_keeps_prefix_above_p():
+    # peaked distribution: nucleus 0.5 keeps only the top token(s)
+    logits = jnp.asarray(np.array([10.0, 1.0, 0.5] + [0.0] * 307))
+    scfg = sampling.SamplingConfig(technique="nucleus", nucleus_p=0.5,
+                                   temperature=1.0, exclude_bos=False)
+    counts = _sample_dist(scfg, logits)
+    assert counts[0] == counts.sum()  # p(top) > 0.99 > p -> only it kept
+
+    # flat-ish: nucleus keeps > 1 token
+    logits2 = jnp.asarray(np.array([1.0, 1.0, 1.0, 1.0] + [-10.0] * 306))
+    counts2 = _sample_dist(scfg, logits2)
+    assert (counts2[:4] > 0).sum() >= 2
+
+
+def test_exclude_bos_and_empty_suppression():
+    logits = jnp.asarray(np.zeros(310))
+    scfg = sampling.SamplingConfig(technique="random", temperature=1.0,
+                                   exclude_bos=True, num_empty_to_ignore=2,
+                                   empty_token=101)
+    counts = _sample_dist(scfg, logits, empty_run=2)
+    assert counts[0] == 0      # BOS excluded
+    assert counts[101] == 0    # empty token suppressed after 2 repeats
+    counts2 = _sample_dist(scfg, logits, empty_run=1)
+    assert counts2[101] > 0    # not yet suppressed
+
+
+def test_temperature_zero_is_argmax():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(310))
+    scfg = sampling.SamplingConfig(technique="topk", topk=32,
+                                   temperature=0.0, exclude_bos=False)
+    counts = _sample_dist(scfg, logits, n=16)
+    assert counts[int(jnp.argmax(logits))] == 16
+
+
+def test_scan_matches_host_loop():
+    """sample_scan must generate the same tokens as the per-token host loop
+    for the same PRNG stream."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, cache_kv=True)
+    params = xl.init_xl_params(xcfg, seed=3)
+    scfg = sampling.SamplingConfig(technique="topk", topk=8,
+                                   temperature=0.9)
+    n = 12
+    rng = jax.random.PRNGKey(7)
+    rngs = jax.random.split(rng, n)
+
+    # host loop (step-by-step), feeding the same per-step keys
+    step = sampling.make_decode_step(xcfg, scfg)
+    mems = xl.init_mems(xcfg, 32, 1)
+    tok = jnp.zeros((1,), jnp.int32)
+    er = jnp.zeros((1,), jnp.int32)
+    host_tokens = []
+    for i in range(n):
+        tok, mems, er = step(params, mems, tok, er, rngs[i])
+        host_tokens.append(int(tok[0]))
+
+    # scan path: replicate its internal rng handling
+    mems2 = xl.init_mems(xcfg, 32, 1)
+    toks, _ = sampling.sample_scan(
+        params, xcfg, scfg, jnp.zeros((1,), jnp.int32), mems2, n, rng)
+    scan_tokens = [int(t) for t in np.asarray(toks)[:, 0]]
+    assert scan_tokens == host_tokens
