@@ -66,8 +66,8 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, q_ref, k_ref, v_ref,
     qlen = q_ref.shape[1]
     klen = k_ref.shape[1]
 
-    q = q_ref[0].astype(jnp.float32)          # [qlen, dh]
-    k = k_ref[0].astype(jnp.float32)          # [klen, dh]
+    q = q_ref[0]                              # [qlen, dh]
+    k = k_ref[0]                              # [klen, dh]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)   # [qlen, klen]
@@ -103,10 +103,10 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, q_ref, k_ref, v_ref,
     qlen = q_ref.shape[1]
     klen = k_ref.shape[1]
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)        # [qlen, dh]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]                            # [qlen, dh]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -124,7 +124,9 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, q_ref, k_ref, v_ref,
     else:
         p_drop = p
 
-    dv = jax.lax.dot_general(p_drop, do, (((0,), (0,)), ((), ())),
+    cd = k.dtype
+    dv = jax.lax.dot_general(p_drop.astype(cd), do,
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -132,7 +134,7 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, q_ref, k_ref, v_ref,
         dp = jnp.where(keep, dp / (1.0 - dropatt), 0.0)
     dsum = jnp.sum(dp * p, axis=1, keepdims=True)
     ds = p * (dp - dsum)                       # [qlen, klen] (pre-scale)
-    dbd = ds * scale
+    dbd = (ds * scale).astype(cd)
     dq = jax.lax.dot_general(dbd, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(dbd, q, (((0,), (0,)), ((), ())),

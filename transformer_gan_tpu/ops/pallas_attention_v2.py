@@ -93,10 +93,12 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
     qlen = qrw_ref.shape[2]
     klen = k_ref.shape[2]
 
-    qrw = qrw_ref[0, 0].astype(jnp.float32)       # [q, dh]
-    qrr = qrr_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)           # [klen, dh]
-    rk = rk_ref[0].astype(jnp.float32)            # [KP, dh]
+    # keep matmul inputs in their storage dtype (bf16 x bf16 -> f32 is the
+    # native MXU mode; upcasting first would force slow f32 passes)
+    qrw = qrw_ref[0, 0]                           # [q, dh]
+    qrr = qrr_ref[0, 0]
+    k = k_ref[0, 0]                               # [klen, dh]
+    rk = rk_ref[0].astype(qrr.dtype)              # [KP, dh]
 
     ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -138,12 +140,12 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
     qlen = qrw_ref.shape[2]
     klen = k_ref.shape[2]
 
-    qrw = qrw_ref[0, 0].astype(jnp.float32)
-    qrr = qrr_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    rk = rk_ref[0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    qrw = qrw_ref[0, 0]
+    qrr = qrr_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    rk = rk_ref[0].astype(qrr.dtype)
+    do = do_ref[0, 0]
 
     ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -165,20 +167,24 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
     else:
         p_drop = p
 
-    dv = jax.lax.dot_general(p_drop, do, (((0,), (0,)), ((), ())),
+    cd = k.dtype
+    dv = jax.lax.dot_general(p_drop.astype(cd), do,
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if dropatt > 0.0:
         dp = jnp.where(keep, dp / (1.0 - dropatt), 0.0)
     dsum = jnp.sum(dp * p, axis=1, keepdims=True)
-    ds = p * (dp - dsum) * scale                   # [q, klen]
+    ds_f32 = p * (dp - dsum) * scale               # [q, klen]
+    ds = ds_f32.astype(cd)
 
     dqrw = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds, qrw, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dw = _scatter_bd(ds, qlen, klen)               # [q, KP]
+    # scatter in f32 (pltpu.roll needs 32-bit data), then bf16 matmuls
+    dw = _scatter_bd(ds_f32, qlen, klen).astype(cd)  # [q, KP]
     dqrr = jax.lax.dot_general(dw, rk, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     drk = jax.lax.dot_general(dw, qrr, (((0,), (0,)), ((), ())),
