@@ -41,29 +41,23 @@ _ROWS = 8  # q-block height for the shift extraction (sublane tile)
 def _row_shift(x, qlen, left: bool):
     """Shift row i of x by t(i) = qlen-1-i lanes (left or right), circular.
 
-    Row i = 8*b + a decomposes t = 8*(qlen//8 - 1 - b) + (7 - a): the lane
-    phase depends only on the sublane position a and the coarse part only
-    on the row block b — so the per-row shift is 8 + qlen/8 uniform
-    ``pltpu.roll``s combined with row-mask selects (Mosaic-friendly; no
-    unaligned slicing)."""
+    Binary decomposition: stage k rolls by 2^k and keeps the rolled value
+    for rows whose shift has bit k set — log2(qlen) uniform ``pltpu.roll``s
+    + per-row selects (Mosaic-friendly; no unaligned slicing). The shifts
+    t = qlen-1-i cover [0, qlen), so qlen.bit_length()-1 stages suffice
+    for power-of-two qlen (guaranteed by the qlen % 8 == 0 entry check
+    plus this assert)."""
     KP = x.shape[1]
     row_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    t = qlen - 1 - row_id  # per-row shift amount
     sign = -1 if left else 1
 
-    # fine phase: t_lo = 7 - (i % 8)
-    fine = jnp.zeros_like(x)
-    for a in range(_ROWS):
-        t_lo = _ROWS - 1 - a
-        rolled = pltpu.roll(x, (sign * t_lo) % KP, 1)
-        fine = jnp.where(row_id % _ROWS == a, rolled, fine)
-
-    # coarse: t_hi8 = 8 * (qlen//8 - 1 - b)
-    out = jnp.zeros_like(x)
-    nb = qlen // _ROWS
-    for b in range(nb):
-        t_hi = _ROWS * (nb - 1 - b)
-        rolled = pltpu.roll(fine, (sign * t_hi) % KP, 1)
-        out = jnp.where(row_id // _ROWS == b, rolled, out)
+    out = x
+    bit = 1
+    while bit < qlen:
+        rolled = pltpu.roll(out, (sign * bit) % KP, 1)
+        out = jnp.where((t & bit) != 0, rolled, out)
+        bit <<= 1
     return out
 
 

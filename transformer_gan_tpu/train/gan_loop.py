@@ -26,7 +26,7 @@ from ..config import is_null
 from ..models import bert as bert_mod
 from ..models import discriminator as disc_mod
 from ..models import gan as gan_mod
-from ..models import xl
+
 from . import checkpoint as ckpt
 from . import optim as topt
 from . import step as tstep

@@ -10,7 +10,6 @@ GSPMD-implicit.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
