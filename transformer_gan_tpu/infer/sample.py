@@ -136,10 +136,16 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     first_token: [bsz] int32. Returns (tokens [length, bsz], final mems).
     """
 
+    from ..models.xl import positional_embedding
+    pos_emb = positional_embedding(
+        xcfg, mems.hids.shape[4 if xcfg.cache_kv else 1] + 1).astype(
+            xcfg.cdtype)
+
     def body(carry, step_rng):
         token, mems, empty_run = carry
         logits, new_mems = xl.forward_generate(
-            params, xcfg, token[None, :], mems, same_length=True)
+            params, xcfg, token[None, :], mems, same_length=True,
+            pos_emb=pos_emb)
         rngs = jax.random.split(step_rng, token.shape[0])
         next_tok = jax.vmap(
             lambda lg, er, r: _filter_and_sample(lg, scfg, er, r)

@@ -338,7 +338,7 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
 def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
                reset_mems=None, status_vec=None, *, same_length: bool = False,
                train: bool = False, rng=None, detach_mems: bool = True,
-               remat: bool = False):
+               remat: bool = False, pos_emb=None):
     """Run the decoder stack. Returns (core_out [q,b,d], new_mems).
 
     Mirrors reference ``_forward`` + ``_update_mems``
@@ -357,7 +357,10 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     word_emb = embed_input(params, cfg, inp, status_vec)
     attn_mask = build_attn_mask(qlen, mem_len, mems.count, reset_mems,
                                 same_length, bsz)
-    pos_emb = positional_embedding(cfg, mem_len + qlen).astype(cfg.cdtype)
+    if pos_emb is None:
+        # constant for fixed (qlen, mem_len); decoding scans hoist it
+        pos_emb = positional_embedding(cfg, mem_len + qlen).astype(
+            cfg.cdtype)
 
     core_out = _dropout(r_emb, word_emb, cfg.dropout, train)
     pos_emb = _dropout(r_pos, pos_emb, cfg.dropout, train)
@@ -436,12 +439,12 @@ def forward_nll(params, cfg: XLConfig, data, target, reset_mems, mems,
 
 
 def forward_generate(params, cfg: XLConfig, data, mems, status_vec=None, *,
-                     same_length=False):
+                     same_length=False, pos_emb=None):
     """Logits head for incremental decoding (reference forward_generate,
     mem_transformer.py:578-600). Returns (logits [q,b,V], new_mems)."""
     hidden, new_mems = xl_forward(
         params, cfg, data, mems, None, status_vec,
-        same_length=same_length, train=False)
+        same_length=same_length, train=False, pos_emb=pos_emb)
     logits = compute_logits(params, cfg, hidden)
     return logits, new_mems
 
