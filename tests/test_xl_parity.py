@@ -306,6 +306,7 @@ def test_pallas_v2_fused_attention_matches_jnp(monkeypatch):
     from transformer_gan_tpu.ops import pallas_attention_v2 as pa2
     monkeypatch.setattr(pa, "INTERPRET", True)
     monkeypatch.setattr(pa2, "INTERPRET", True)
+    monkeypatch.setattr(pa2, "_FAST_BF16_SHIFT", [False])
 
     cfg = _make_cfg()
     base = xl.XLConfig.from_cfg(cfg, 310)

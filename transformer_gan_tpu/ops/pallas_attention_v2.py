@@ -35,38 +35,66 @@ from .pallas_attention import NEG, _mask_block
 
 INTERPRET = False
 
+# Run shift stages at bf16 width on TPU (halved roll bandwidth); tests on
+# CPU keep f32 for exactness vs the f32 jnp oracle.
+_FAST_BF16_SHIFT = [True]
+
 _ROWS = 8  # q-block height for the shift extraction (sublane tile)
 
 
-def _row_shift(x, qlen, left: bool):
+def _row_shift(x, qlen, left: bool, out_bf16: bool = False):
     """Shift row i of x by t(i) = qlen-1-i lanes (left or right), circular.
 
     Binary decomposition: stage k rolls by 2^k and keeps the rolled value
     for rows whose shift has bit k set — log2(qlen) uniform ``pltpu.roll``s
-    + per-row selects (Mosaic-friendly; no unaligned slicing). The shifts
-    t = qlen-1-i cover [0, qlen), so qlen.bit_length()-1 stages suffice
-    for power-of-two qlen (guaranteed by the qlen % 8 == 0 entry check
-    plus this assert)."""
+    + per-row selects (Mosaic-friendly; no unaligned slicing).
+
+    With ``out_bf16`` the even-bit stages run on the array bitcast to
+    int32 lane pairs (rolling the pair array by k == rolling bf16 lanes by
+    2k), halving roll bandwidth; only the bit-0 stage runs at full f32
+    width. Precision matches the jnp path, whose position-term einsum is
+    bf16 on TPU anyway."""
     KP = x.shape[1]
-    row_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    t = qlen - 1 - row_id  # per-row shift amount
+    row_id2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    t_row = qlen - 1 - row_id2  # [q, 1]
     sign = -1 if left else 1
 
-    out = x
-    bit = 1
+    if not (out_bf16 and x.shape[0] % 2 == 0):
+        out = x
+        bit = 1
+        while bit < qlen:
+            rolled = pltpu.roll(out, (sign * bit) % KP, 1)
+            out = jnp.where((t_row & bit) != 0, rolled, out)
+            bit <<= 1
+        return out
+
+    # bit-0 stage at f32 width (t of rows 2r and 2r+1 differ only in bit 0
+    # since t(2r) = qlen-1-2r is odd)
+    rolled = pltpu.roll(x, sign % KP, 1)
+    out = jnp.where((t_row & 1) != 0, rolled, x)
+    # remaining stages with sublane-paired rows bitcast to int32: lanes are
+    # unchanged (pltpu.bitcast packs the second-to-last dim), so shift
+    # amounts stay in bf16 lanes and selects are uniform within each pair
+    xi = pltpu.bitcast(out.astype(jnp.bfloat16), jnp.int32)  # [q//2, KP]
+    pair_id = jax.lax.broadcasted_iota(jnp.int32, (xi.shape[0], 1), 0)
+    t_pair = qlen - 1 - 2 * pair_id
+    bit = 2
     while bit < qlen:
-        rolled = pltpu.roll(out, (sign * bit) % KP, 1)
-        out = jnp.where((t & bit) != 0, rolled, out)
+        rolled = pltpu.roll(xi, (sign * bit) % KP, 1)
+        xi = jnp.where((t_pair & bit) != 0, rolled, xi)
         bit <<= 1
-    return out
+    return pltpu.bitcast(xi, jnp.bfloat16)
 
 
 def _extract_bd(w_mat, qlen, klen):
     """BD[i, j] = w_mat[i, (qlen-1-i)+j] (left row-shift then crop).
 
     Circular wrap is harmless: wrapped lanes land only on masked
-    (j > mem_len + i) positions."""
-    return _row_shift(w_mat, qlen, left=True)[:, :klen]
+    (j > mem_len + i) positions. Shifts run at bf16 width when the kernel
+    computes in bf16 (inputs bf16); f32 otherwise (CPU tests)."""
+    fast = w_mat.dtype == jnp.float32 and _FAST_BF16_SHIFT[0]
+    out = _row_shift(w_mat, qlen, left=True, out_bf16=fast)
+    return out[:, :klen]
 
 
 def _scatter_bd(ds, qlen, klen):
@@ -76,7 +104,8 @@ def _scatter_bd(ds, qlen, klen):
     KP = klen + qlen
     padded = jnp.concatenate(
         [ds, jnp.zeros((qlen, KP - klen), ds.dtype)], axis=1)
-    return _row_shift(padded, qlen, left=False)
+    fast = ds.dtype == jnp.float32 and _FAST_BF16_SHIFT[0]
+    return _row_shift(padded, qlen, left=False, out_bf16=fast)
 
 
 def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
@@ -177,7 +206,7 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
                                preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds, qrw, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # scatter in f32 (pltpu.roll needs 32-bit data), then bf16 matmuls
+    # scatter (f32 or bitcast-bf16 stages), then bf16 matmuls
     dw = _scatter_bd(ds_f32, qlen, klen).astype(cd)  # [q, KP]
     dqrr = jax.lax.dot_general(dw, rk, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
