@@ -185,9 +185,16 @@ def main(inference_cfg):
             data = np.array(seq[:-1], dtype=np.int32)[:, None]
             _, batch_mems = prime_step(
                 params, jnp.asarray(data), xl.init_mems(xcfg, mem_len, 1))
-            assert np.allclose(np.asarray(mems.hids),
-                               np.asarray(batch_mems.hids), atol=1e-2), \
-                "incremental and batch memories diverged"
+            # incremental memory rounds to the storage dtype every step;
+            # in bf16 the two paths agree to 1-2 ulps (one ulp at |x|~4 is
+            # 0.03), in f32 far tighter (reference used atol=1e-4 on fp32,
+            # generate.py:309-327)
+            atol = 0.08 if mems.hids.dtype == jnp.bfloat16 else 1e-2
+            diff = np.abs(
+                np.asarray(mems.hids, np.float32)
+                - np.asarray(batch_mems.hids, np.float32)).max()
+            assert diff < atol, (
+                f"incremental and batch memories diverged: {diff}")
             print("Mem same")
 
             if conditional_data is not None and num_conditional_tokens >= 1:
