@@ -72,3 +72,36 @@ def test_str_roundtrips_through_yaml(tmp_path):
 def test_is_null():
     assert is_null("Null") and is_null("") and is_null(None)
     assert not is_null("cnn")
+
+
+def test_schedules_match_reference_semantics():
+    """LR multipliers vs the reference's scheduler stepping
+    (train.py:462-568,1097-1133)."""
+    import numpy as np
+    from transformer_gan_tpu.train import optim as topt
+
+    # inv_sqrt with warmup: lambda(k) = k/w for k<=w else sqrt(w/k) floored
+    s = topt.make_schedule("inv_sqrt", 0.004, 100000, 0.0001, 4000)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(2000)), 0.5)
+    np.testing.assert_allclose(float(s(4000)), 1.0)
+    np.testing.assert_allclose(float(s(16000)), 0.5)
+    np.testing.assert_allclose(float(s(10**9)), 0.0001 / 0.004)
+
+    # cosine: phase runs on (step - warmup)
+    c = topt.make_schedule("cosine", 0.004, 1000, 0.0, 100)
+    np.testing.assert_allclose(float(c(50)), 0.5)       # warmup
+    np.testing.assert_allclose(float(c(100)), 1.0)      # cos(0)
+    np.testing.assert_allclose(float(c(600)), 0.5, rtol=1e-5)  # cos(pi/2)
+
+    # constant with warmup
+    k = topt.make_schedule("constant", 0.004, 1000, 0.0, 10)
+    np.testing.assert_allclose(float(k(5)), 0.5)
+    np.testing.assert_allclose(float(k(50)), 1.0)
+
+    # plateau tracker halves after patience non-improving evals
+    t = topt.PlateauTracker(0.5, 2, 1e-5, 0.004)
+    assert t.step(1.0) == 1.0
+    assert t.step(1.1) == 1.0
+    assert t.step(1.1) == 1.0
+    assert t.step(1.1) == 0.5

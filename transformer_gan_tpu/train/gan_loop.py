@@ -91,14 +91,17 @@ def _make_dis_optimizer(cfg, dis_params):
         direction = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         trainable = None
 
+    # The reference steps the dis scheduler every TRAIN step
+    # (train.py:1122-1133), not per dis update: the multiplier slot is set
+    # from the host with sched(train_step) before each phase.
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.TRAIN.clip),
         direction,
-        optax.scale_by_schedule(sched),
         optax.scale(base_lr),
+        topt.scale_by_mutable_lr(),
         optax.scale(-1.0),
     )
-    return _masked(opt, trainable), trainable
+    return _masked(opt, trainable), trainable, sched
 
 
 class GanPhases:
@@ -130,21 +133,24 @@ class GanPhases:
 
         self.dis_optimizer = None
         self.dis_opt_state = None
+        self.dis_sched = None
         if not d.freeze_discriminator:
-            self.dis_optimizer, self._dis_mask = _make_dis_optimizer(
-                cfg, self.dis_params)
+            (self.dis_optimizer, self._dis_mask,
+             self.dis_sched) = _make_dis_optimizer(cfg, self.dis_params)
             self.dis_opt_state = self.dis_optimizer.init(self.dis_params)
 
-        # ---- generator GAN optimizer (train.py:407-410,497-532) ----
-        gen_sched = topt.make_schedule(
+        # ---- generator GAN optimizer (train.py:407-410,497-532);
+        # scheduler advances per TRAIN step (train.py:1108-1120), so the
+        # multiplier is host-set before each phase ----
+        self.gen_sched = topt.make_schedule(
             d.gen_scheduler, d.gen_lr, cfg.TRAIN.max_step, d.gen_lr_min,
             d.gen_warmup_step)
         gen_lr = d.gen_lr / max(1, int(trainer.n_devices))
         self.gen_optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.TRAIN.clip),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.scale_by_schedule(gen_sched),
             optax.scale(gen_lr),
+            topt.scale_by_mutable_lr(),
             optax.scale(-1.0),
         )
         self.gen_opt_state = self.gen_optimizer.init(trainer.state.params)
@@ -332,11 +338,13 @@ class GanPhases:
         self.rng, r = jax.random.split(self.rng)
         return r
 
-    def dis_phase(self):
+    def dis_phase(self, train_step_num: int = 0):
         """Reference train.py:924-1014: dis_steps optimizer updates over
         fresh real batches (no-op when the discriminator is frozen)."""
         if self.dis_optimizer is None:
             return
+        self.dis_opt_state = topt.set_lr_multiplier(
+            self.dis_opt_state, float(self.dis_sched(train_step_num)))
         for _ in range(self.cfg.DISCRIMINATOR.dis_steps):
             data_c = self._next_dis_batch()
             self.dis_params, self.dis_opt_state, dloss, gp = self._dis_step(
@@ -349,6 +357,8 @@ class GanPhases:
     def gen_phase(self, train_step_num: int):
         """Reference train.py:1016-1090: optional PPO classifier update,
         then the adversarial generator update."""
+        self.gen_opt_state = topt.set_lr_multiplier(
+            self.gen_opt_state, float(self.gen_sched(train_step_num)))
         data_c = self._next_dis_batch()
         update_D0 = (train_step_num % self.cfg.PPO.dis_D_update_D0_freq
                      == 0) or not self.P0_initialized

@@ -346,7 +346,7 @@ class Trainer:
             if (self.gan is not None
                     and self.train_step_num > cfg.DISCRIMINATOR.start_iter):
                 if self.train_step_num % cfg.DISCRIMINATOR.dis_loss_freq == 0:
-                    self.gan.dis_phase()
+                    self.gan.dis_phase(self.train_step_num)
                 if self.train_step_num % cfg.DISCRIMINATOR.gen_loss_freq == 0:
                     self.gan.gen_phase(self.train_step_num)
 

@@ -93,12 +93,15 @@ def cosine_schedule(base_lr: float, max_step: int, lr_min: float,
                     warmup_step: int):
     """CosineAnnealingLR(T_max=max_step, eta_min=lr_min) with the manual
     linear warmup that overrides it below warmup_step
-    (reference train.py:462-468,1097-1104)."""
+    (reference train.py:462-468,1097-1104). The reference only calls
+    scheduler.step() after warmup completes, so the cosine phase runs on
+    (step - warmup_step)."""
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
+        eff = jnp.maximum(step - warmup_step, 0.0)
         cos = (lr_min + (base_lr - lr_min)
-               * 0.5 * (1 + jnp.cos(jnp.pi * step / max_step))) / base_lr
+               * 0.5 * (1 + jnp.cos(jnp.pi * eff / max_step))) / base_lr
         if warmup_step > 0:
             return jnp.where(step < warmup_step, step / warmup_step, cos)
         return cos
