@@ -91,3 +91,82 @@ def test_scan_matches_host_loop():
         params, xcfg, scfg, jnp.zeros((1,), jnp.int32), mems2, n, rng)
     scan_tokens = [int(t) for t in np.asarray(toks)[:, 0]]
     assert scan_tokens == host_tokens
+
+
+@pytest.mark.parametrize("same_length", [True, False])
+def test_chunked_decode_matches_forward_generate(same_length):
+    """decode_chunk_step (two-level cache, precomputed r-heads) must produce
+    the same logits as the general forward_generate path at every step,
+    through the growth phase, inside chunks, and across chunk merges."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, cache_kv=True)
+    params = xl.init_xl_params(xcfg, seed=5)
+    mem_len, bsz, C, T = 6, 2, 4, 19  # T spans several merges; rem chunk
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, xcfg.n_token, (T, bsz)).astype(np.int32)
+
+    mems = xl.init_mems(xcfg, mem_len, bsz)
+    state = xl.init_decode_state(xcfg, mem_len, bsz)
+    stage = xl.init_decode_stage(xcfg, C, bsz)
+    r_heads = xl.precompute_r_heads(params, xcfg, mem_len + 1)
+    t = 0
+    for step_i in range(T):
+        inp = jnp.asarray(toks[step_i])
+        lg_ref, mems = xl.forward_generate(
+            params, xcfg, inp[None], mems, same_length=same_length)
+        lg_new, stage = xl.decode_chunk_step(
+            params, xcfg, inp, state, stage, jnp.asarray(t, jnp.int32),
+            r_heads, same_length=same_length)
+        np.testing.assert_allclose(
+            np.asarray(lg_new), np.asarray(lg_ref[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"step {step_i}")
+        t += 1
+        if t == C:
+            state = xl.merge_decode_state(xcfg, state, stage, C)
+            stage = xl.init_decode_stage(xcfg, C, bsz)
+            t = 0
+
+    # memory extraction parity after a partial chunk
+    if t:
+        state = xl.merge_decode_state(xcfg, state, stage, t)
+    ring_mems = xl.mems_from_decode_state(xcfg, state)
+    assert int(ring_mems.count) == int(mems.count)
+    np.testing.assert_allclose(np.asarray(ring_mems.hids),
+                               np.asarray(mems.hids), rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_decode_after_priming():
+    """Prefix priming (batch forward) -> decode-state conversion ->
+    incremental decode must match continuing with forward_generate."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, cache_kv=True)
+    params = xl.init_xl_params(xcfg, seed=9)
+    mem_len, bsz, C = 8, 1, 4
+    rng = np.random.RandomState(3)
+    ctx = jnp.asarray(rng.randint(0, xcfg.n_token, (5, bsz)), jnp.int32)
+
+    mems0 = xl.init_mems(xcfg, mem_len, bsz)
+    _, primed = xl.forward_generate(params, xcfg, ctx, mems0,
+                                    same_length=True)
+
+    mems = primed
+    state = xl.decode_state_from_mems(xcfg, primed)
+    stage = xl.init_decode_stage(xcfg, C, bsz)
+    r_heads = xl.precompute_r_heads(params, xcfg, mem_len + 1)
+    toks = rng.randint(0, xcfg.n_token, (10, bsz)).astype(np.int32)
+    t = 0
+    for step_i in range(10):
+        inp = jnp.asarray(toks[step_i])
+        lg_ref, mems = xl.forward_generate(
+            params, xcfg, inp[None], mems, same_length=True)
+        lg_new, stage = xl.decode_chunk_step(
+            params, xcfg, inp, state, stage, jnp.asarray(t, jnp.int32),
+            r_heads, same_length=True)
+        np.testing.assert_allclose(
+            np.asarray(lg_new), np.asarray(lg_ref[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"step {step_i}")
+        t += 1
+        if t == C:
+            state = xl.merge_decode_state(xcfg, state, stage, C)
+            stage = xl.init_decode_stage(xcfg, C, bsz)
+            t = 0

@@ -61,6 +61,10 @@ class SamplingConfig:
 
 NEG = jnp.float32(-1e30)
 
+# Inner-scan length of the two-level decode: the big K/V cache is copied
+# once per DECODE_CHUNK tokens instead of every token.
+DECODE_CHUNK = 32
+
 
 def _filter_and_sample(logits, scfg: SamplingConfig, empty_run, rng):
     """Logit surgery + filtering + draw for one [V] logit row
@@ -99,7 +103,11 @@ def _filter_and_sample(logits, scfg: SamplingConfig, empty_run, rng):
 
 def make_decode_step(xcfg: xl.XLConfig, scfg: SamplingConfig):
     """(params, mems, token [bsz], empty_run [bsz], rng) ->
-    (next_token [bsz], new_mems, new_empty_run). One jitted program."""
+    (next_token [bsz], new_mems, new_empty_run). One jitted program.
+
+    Host-loop single stepping (used for the data-dependent duration stop,
+    where each step round-trips to the host anyway); the fixed-length fast
+    path is the chunked ``sample_scan``."""
 
     @jax.jit
     def step(params, mems, token, empty_run, rng):
@@ -134,28 +142,87 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     """Fully on-device generation of ``length`` tokens via lax.scan.
 
     first_token: [bsz] int32. Returns (tokens [length, bsz], final mems).
+    With cache_kv the scan carries an ``xl.DecodeState`` ring (the fast
+    path); the returned memory is converted back to ``XLMems`` so callers
+    (incl. the CLI debug incremental==batch check) see one layout.
     """
+
+    rngs = jax.random.split(rng, length)
+    empty0 = jnp.zeros_like(first_token)
+
+    if xcfg.cache_kv:
+        # Two-level chunked decode (see models/xl.py): the big K/V cache is
+        # read-only inside each C-token inner scan (XLA never copies it);
+        # staging absorbs the per-token writes and is merged once per chunk.
+        C = min(DECODE_CHUNK, length)
+        bsz = first_token.shape[0]
+        state0 = xl.decode_state_from_mems(xcfg, mems)
+        M = state0.kv[0][0].shape[1]
+        r_heads = xl.precompute_r_heads(params, xcfg, M + 1)
+
+        def run_chunk(state, token, empty_run, chunk_rngs, n):
+            stage0 = xl.init_decode_stage(xcfg, C, bsz,
+                                          dtype=state.kv[0][0].dtype)
+
+            def body(carry, xs):
+                token, stage, empty_run = carry
+                t, step_rng = xs
+                logits, stage = xl.decode_chunk_step(
+                    params, xcfg, token, state, stage, t, r_heads,
+                    same_length=True)
+                step_rngs = jax.random.split(step_rng, token.shape[0])
+                next_tok = jax.vmap(
+                    lambda lg, er, r: _filter_and_sample(lg, scfg, er, r)
+                )(logits, empty_run, step_rngs)
+                new_empty = jnp.where(next_tok == scfg.empty_token,
+                                      empty_run + 1, 0)
+                return (next_tok, stage, new_empty), next_tok
+
+            xs = (jnp.arange(n, dtype=jnp.int32), chunk_rngs)
+            (token, stage, empty_run), toks = jax.lax.scan(
+                body, (token, stage0, empty_run), xs)
+            return token, stage, empty_run, toks
+
+        n_full, rem = divmod(length, C)
+        token, empty_run, state = first_token, empty0, state0
+        pieces = []
+        if n_full:
+            def outer(carry, chunk_rngs):
+                token, state, empty_run = carry
+                token, stage, empty_run, toks = run_chunk(
+                    state, token, empty_run, chunk_rngs, C)
+                state = xl.merge_decode_state(xcfg, state, stage, C)
+                return (token, state, empty_run), toks
+
+            (token, state, empty_run), toks = jax.lax.scan(
+                outer, (token, state, empty_run),
+                rngs[:n_full * C].reshape(n_full, C, *rngs.shape[1:]))
+            pieces.append(toks.reshape(n_full * C, bsz))
+        if rem:
+            token, stage, empty_run, toks = run_chunk(
+                state, token, empty_run, rngs[n_full * C:], rem)
+            state = xl.merge_decode_state(xcfg, state, stage, rem)
+            pieces.append(toks)
+        tokens = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        return tokens, xl.mems_from_decode_state(xcfg, state)
 
     from ..models.xl import positional_embedding
     pos_emb = positional_embedding(
-        xcfg, mems.hids.shape[4 if xcfg.cache_kv else 1] + 1).astype(
-            xcfg.cdtype)
+        xcfg, mems.hids.shape[1] + 1).astype(xcfg.cdtype)
 
     def body(carry, step_rng):
         token, mems, empty_run = carry
         logits, new_mems = xl.forward_generate(
             params, xcfg, token[None, :], mems, same_length=True,
             pos_emb=pos_emb)
-        rngs = jax.random.split(step_rng, token.shape[0])
+        step_rngs = jax.random.split(step_rng, token.shape[0])
         next_tok = jax.vmap(
             lambda lg, er, r: _filter_and_sample(lg, scfg, er, r)
-        )(logits[-1], empty_run, rngs)
+        )(logits[-1], empty_run, step_rngs)
         new_empty = jnp.where(next_tok == scfg.empty_token,
                               empty_run + 1, 0)
         return (next_tok, new_mems, new_empty), next_tok
 
-    rngs = jax.random.split(rng, length)
-    empty0 = jnp.zeros_like(first_token)
     (_, final_mems, _), tokens = jax.lax.scan(
         body, (first_token, mems, empty0), rngs)
     return tokens, final_mems

@@ -412,6 +412,241 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     return out, new_mems
 
 
+# ---------------------------------------------------------------------------
+# Chunked two-level incremental decoding
+# ---------------------------------------------------------------------------
+#
+# The general path above reproduces the reference memory semantics by
+# shifting the whole K/V buffer every step (the functional analogue of
+# mem_transformer.py:445-482's torch.cat window). For token-by-token
+# decoding that shift is pure HBM traffic: at the reference generation
+# operating point (mem_len 4146) it copies ~50 MB per generated token, and
+# re-projecting the positional embeddings (r @ r_w, mem_transformer.py:160)
+# would cost ~2 GFLOP per layer per token even though they are constant.
+#
+# A naive in-place ring is NOT faster on TPU: XLA's copy insertion cannot
+# alias a loop-carried buffer that is dynamically updated AND read in the
+# same iteration, so every step still materializes full K/V copies
+# (measured: pad+select lowering, ~2x slower than the shift). The design
+# that does map to the hardware is a TWO-LEVEL cache:
+#
+#   * big buffer  [bsz, mem_len, n_head*d_head] per layer — tail-aligned,
+#     READ-ONLY inside a decode chunk (a closure constant of the inner
+#     scan, so XLA never copies it);
+#   * staging     [bsz, C, n_head*d_head] per layer — holds the current
+#     chunk's K/V; tiny, so its per-step copies are ~KBs;
+#   * one merge per C tokens (static shift-left + append) in the outer
+#     scan, amortizing the big-buffer copy to 1/C per token.
+#
+# The dense minor dimension n_head*d_head (= d_model, ~512 lanes) also
+# avoids the 2.56x HBM padding of a [.., mem, d_head=50] layout (50 lanes
+# pad to 128 on TPU). Positional projections are precomputed once
+# (`precompute_r_heads`); the per-step relative-position alignment is a
+# jnp.roll / dynamic_slice of score-sized vectors, never a gather.
+# Mathematically identical to forward_generate with qlen=1 (tests assert
+# logit equality through growth, chunk boundaries, and merges).
+
+
+class DecodeState(NamedTuple):
+    """Big (chunk-level) decode K/V cache.
+
+    kv:    tuple over layers of (k, v), each [bsz, mem_len, n_head*d_head],
+           tail-aligned like XLMems (slot mem_len-1 = most recent).
+    count: int32 — number of valid tail slots (capped at mem_len).
+    """
+
+    kv: tuple
+    count: jnp.ndarray
+
+
+def init_decode_state(cfg: XLConfig, mem_len: int, bsz: int,
+                      dtype=None) -> DecodeState:
+    dtype = dtype or cfg.cdtype
+    hd = cfg.n_head * cfg.d_head
+    kv = tuple(
+        (jnp.zeros((bsz, mem_len, hd), dtype=dtype),
+         jnp.zeros((bsz, mem_len, hd), dtype=dtype))
+        for _ in range(cfg.n_layer))
+    return DecodeState(kv=kv, count=jnp.zeros((), jnp.int32))
+
+
+def decode_state_from_mems(cfg: XLConfig, mems: XLMems) -> DecodeState:
+    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense [b, M, h*dh]."""
+    if not cfg.cache_kv:
+        raise ValueError("chunked decode requires cache_kv memory layout")
+    b = mems.hids.shape[2]
+    M = mems.hids.shape[4]
+    hd = cfg.n_head * cfg.d_head
+
+    def dense(x):  # [b, h, M, dh] -> [b, M, h*dh]
+        return x.transpose(0, 2, 1, 3).reshape(b, M, hd)
+
+    kv = tuple((dense(mems.hids[i, 0]), dense(mems.hids[i, 1]))
+               for i in range(cfg.n_layer))
+    return DecodeState(kv=kv, count=mems.count.astype(jnp.int32))
+
+
+def mems_from_decode_state(cfg: XLConfig, state: DecodeState) -> XLMems:
+    """Inverse of decode_state_from_mems."""
+    b, M, _ = state.kv[0][0].shape
+
+    def heads(x):  # [b, M, h*dh] -> [b, h, M, dh]
+        return x.reshape(b, M, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)
+
+    hids = jnp.stack([
+        jnp.stack([heads(k), heads(v)], axis=0) for k, v in state.kv])
+    return XLMems(hids=hids, count=state.count)
+
+
+def init_decode_stage(cfg: XLConfig, chunk: int, bsz: int,
+                      dtype=None) -> tuple:
+    """Per-layer (k, v) staging buffers [bsz, chunk, n_head*d_head]."""
+    dtype = dtype or cfg.cdtype
+    hd = cfg.n_head * cfg.d_head
+    return tuple(
+        (jnp.zeros((bsz, chunk, hd), dtype=dtype),
+         jnp.zeros((bsz, chunk, hd), dtype=dtype))
+        for _ in range(cfg.n_layer))
+
+
+def merge_decode_state(cfg: XLConfig, state: DecodeState, stage: tuple,
+                       n: int) -> DecodeState:
+    """Fold the first ``n`` staged tokens into the big buffer (static
+    shift-left + append; one big copy per chunk, not per token)."""
+    M = state.kv[0][0].shape[1]
+    kv = tuple(
+        (jnp.concatenate([k[:, n:], sk[:, :n]], axis=1),
+         jnp.concatenate([v[:, n:], sv[:, :n]], axis=1))
+        for (k, v), (sk, sv) in zip(state.kv, stage))
+    return DecodeState(kv=kv, count=jnp.minimum(state.count + n, M))
+
+
+def precompute_r_heads(params, cfg: XLConfig, R: int) -> jnp.ndarray:
+    """Per-layer positional projections [L, R, h, dh], row j = distance
+    R-1-j (the natural positional_embedding order). Constant for a fixed
+    memory length — hoist out of the decode loop. Kept distance-REVERSED so
+    per-step slot alignment is a jnp.roll / dynamic_slice instead of a
+    gather, which TPUs execute far slower."""
+    pos = positional_embedding(cfg, R).astype(cfg.cdtype)  # dist R-1 .. 0
+    heads = [
+        (pos @ layer["r_w"].astype(cfg.cdtype)).reshape(
+            R, cfg.n_head, cfg.d_head)
+        for layer in params["layers"]
+    ]
+    return jnp.stack(heads)
+
+
+def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
+                      stage: tuple, t, r_heads, *,
+                      same_length: bool = True, status_vec=None):
+    """One-token forward at inner-chunk step ``t`` (traced int32).
+
+    inp: [bsz] int ids or [bsz, V] soft one-hots. ``state`` is the big
+    read-only cache (as of chunk start), ``stage`` the chunk staging
+    buffers; ``r_heads`` from precompute_r_heads(params, cfg, mem_len+1).
+    Returns (logits [bsz, V], new stage). Distance bookkeeping: big slot j
+    is at distance M-j+t from the current token; staged slot s at t-s."""
+    b, M, hd = state.kv[0][0].shape
+    C = stage[0][0].shape[1]
+    scale = 1.0 / (cfg.d_head ** 0.5)
+    sdt = cfg.sdtype
+    neg = jnp.asarray(jnp.finfo(sdt).min, dtype=sdt)
+
+    j_big = jnp.arange(M, dtype=jnp.int32)
+    j_st = jnp.arange(C, dtype=jnp.int32)
+    # same_length caps history at M keys incl. self (the reference masks the
+    # oldest slot once memory is full, mem_transformer.py:517-527); without
+    # it the window is M+1 keys (M mems + self).
+    sl = 1 if same_length else 0
+    mask_big = j_big < jnp.maximum(M - state.count, t + sl)     # [M]
+    mask_st = j_st > t                                          # [C]
+
+    sv = status_vec[None] if status_vec is not None else None
+    x = embed_input(params, cfg, inp[None], sv)[0]              # [b, hd]
+
+    r_w_bias = params["r_w_bias"].astype(cfg.cdtype).reshape(hd)
+    r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
+    zero = jnp.zeros((), jnp.int32)
+    new_stage = []
+
+    for i in range(cfg.n_layer):
+        layer = params["layers"][i]
+        if cfg.pre_lnorm:
+            w_in = layer_norm(x, layer["attn_ln_scale"],
+                              layer["attn_ln_bias"])
+        else:
+            w_in = x
+        heads = w_in @ layer["qkv_w"].astype(cfg.cdtype)        # [b, 3*hd]
+        q, k, v = jnp.split(heads, 3, axis=-1)
+
+        sk, svv = stage[i]
+        sk = jax.lax.dynamic_update_slice(
+            sk, k[:, None, :].astype(sk.dtype), (zero, t, zero))
+        svv = jax.lax.dynamic_update_slice(
+            svv, v[:, None, :].astype(svv.dtype), (zero, t, zero))
+        new_stage.append((sk, svv))
+        k_big, v_big = state.kv[i]
+
+        # content term: elementwise multiply + per-head reduce (matvec does
+        # not use the MXU; this reads K exactly once). Scores are kept in
+        # [b, h, klen] — klen on the minor (lane) dim — because an
+        # [.., klen, h=10] layout pads 10 lanes to 128 and makes the fp32
+        # softmax do ~13x the HBM traffic. The [b,M,h]->[b,h,M] transposes
+        # are ~100 KB, negligible.
+        qb = (q + r_w_bias)[:, None, :]                         # [b, 1, hd]
+        AC_big = (k_big.astype(cfg.cdtype) * qb).reshape(
+            b, M, cfg.n_head, cfg.d_head).sum(-1).transpose(0, 2, 1)
+        AC_st = (sk.astype(cfg.cdtype) * qb).reshape(
+            b, C, cfg.n_head, cfg.d_head).sum(-1).transpose(0, 2, 1)
+
+        # position term: distance-indexed (precomputed heads), aligned to
+        # slots by a roll (big) / dynamic slice (staging)
+        rr = q.reshape(b, cfg.n_head, cfg.d_head) + r_r_bias
+        BD_rev = jnp.einsum("bhd,jhd->bhj", rr,
+                            r_heads[i].astype(cfg.cdtype))      # [b, h, M+1]
+        BD_big = jnp.roll(BD_rev[..., :M], t, axis=-1)          # [b, h, M]
+        BD_ext = jnp.concatenate(
+            [BD_rev, jnp.zeros((b, cfg.n_head, C - 1), BD_rev.dtype)],
+            axis=-1) if C > 1 else BD_rev
+        BD_st = jax.lax.dynamic_slice_in_dim(BD_ext, M - t, C, axis=-1)
+
+        score = jnp.concatenate(
+            [AC_big + BD_big, AC_st + BD_st], axis=-1).astype(sdt) * scale
+        mask = jnp.concatenate([mask_big, mask_st])[None, None, :]
+        score = jnp.where(mask, neg, score)
+        prob = jax.nn.softmax(score, axis=-1)                   # [b, h, M+C]
+
+        pt = prob.astype(cfg.cdtype).transpose(0, 2, 1)         # [b, M+C, h]
+        pb = jnp.repeat(pt, cfg.d_head, axis=2)                 # fused bcast
+        ctx = ((v_big.astype(cfg.cdtype) * pb[:, :M]).sum(axis=1)
+               + (svv.astype(cfg.cdtype) * pb[:, M:]).sum(axis=1))  # [b, hd]
+
+        attn_out = ctx @ layer["o_w"].astype(cfg.cdtype)
+        if cfg.pre_lnorm:
+            out = x + attn_out
+        else:
+            out = layer_norm(x + attn_out, layer["attn_ln_scale"],
+                             layer["attn_ln_bias"])
+        if cfg.pre_lnorm:
+            ff_in = layer_norm(out, layer["ff_ln_scale"],
+                               layer["ff_ln_bias"])
+        else:
+            ff_in = out
+        h = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
+                        + layer["ff_b1"].astype(cfg.cdtype))
+        h = h @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
+            cfg.cdtype)
+        if cfg.pre_lnorm:
+            x = out + h
+        else:
+            x = layer_norm(out + h, layer["ff_ln_scale"],
+                           layer["ff_ln_bias"])
+
+    logits = compute_logits(params, cfg, x)
+    return logits, tuple(new_stage)
+
+
+
 def compute_logits(params, cfg: XLConfig, hidden) -> jnp.ndarray:
     """Tied-softmax logits (reference ProjectedAdaptiveLogSoftmax
     _compute_logit with n_clusters==0; proj_adaptive_softmax.py:50-84)."""
