@@ -139,9 +139,8 @@ def main(inference_cfg):
     if (not inference_cfg.GENERATION.duration_based
             and not inference_cfg.MODEL.debug):
         # Fixed-length generation: batch independent files into waves of
-        # lanes on one device. Per-token op-issue latency dominates the
-        # incremental decode, so lanes are nearly free (measured ~3x
-        # aggregate events/s at 8 lanes, mem 4146).
+        # lanes on one device (best measured aggregate events/s at 8
+        # lanes, mem 4146).
         n_files = inference_cfg.INPUT.num_midi_files
         generation_length = inference_cfg.GENERATION.generation_length
         max_lanes = 8

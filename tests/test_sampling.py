@@ -106,9 +106,8 @@ def test_chunked_decode_matches_forward_generate(same_length):
     toks = rng.randint(0, xcfg.n_token, (T, bsz)).astype(np.int32)
 
     mems = xl.init_mems(xcfg, mem_len, bsz)
-    state = xl.init_decode_state(xcfg, mem_len, bsz)
+    state = xl.init_decode_state(params, xcfg, mem_len, bsz)
     stage = xl.init_decode_stage(xcfg, C, bsz)
-    r_heads = xl.precompute_r_heads(params, xcfg, mem_len + 1)
     t = 0
     for step_i in range(T):
         inp = jnp.asarray(toks[step_i])
@@ -116,7 +115,7 @@ def test_chunked_decode_matches_forward_generate(same_length):
             params, xcfg, inp[None], mems, same_length=same_length)
         lg_new, stage = xl.decode_chunk_step(
             params, xcfg, inp, state, stage, jnp.asarray(t, jnp.int32),
-            r_heads, same_length=same_length)
+            same_length=same_length)
         np.testing.assert_allclose(
             np.asarray(lg_new), np.asarray(lg_ref[0]),
             rtol=1e-4, atol=1e-4, err_msg=f"step {step_i}")
@@ -150,9 +149,8 @@ def test_chunked_decode_after_priming():
                                     same_length=True)
 
     mems = primed
-    state = xl.decode_state_from_mems(xcfg, primed)
+    state = xl.decode_state_from_mems(params, xcfg, primed)
     stage = xl.init_decode_stage(xcfg, C, bsz)
-    r_heads = xl.precompute_r_heads(params, xcfg, mem_len + 1)
     toks = rng.randint(0, xcfg.n_token, (10, bsz)).astype(np.int32)
     t = 0
     for step_i in range(10):
@@ -161,7 +159,7 @@ def test_chunked_decode_after_priming():
             params, xcfg, inp[None], mems, same_length=True)
         lg_new, stage = xl.decode_chunk_step(
             params, xcfg, inp, state, stage, jnp.asarray(t, jnp.int32),
-            r_heads, same_length=True)
+            same_length=True)
         np.testing.assert_allclose(
             np.asarray(lg_new), np.asarray(lg_ref[0]),
             rtol=1e-4, atol=1e-4, err_msg=f"step {step_i}")

@@ -156,9 +156,7 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
         # staging absorbs the per-token writes and is merged once per chunk.
         C = min(DECODE_CHUNK, length)
         bsz = first_token.shape[0]
-        state0 = xl.decode_state_from_mems(xcfg, mems)
-        M = state0.kv[0][0].shape[1]
-        r_heads = xl.precompute_r_heads(params, xcfg, M + 1)
+        state0 = xl.decode_state_from_mems(params, xcfg, mems)
 
         def run_chunk(state, token, empty_run, chunk_rngs, n):
             stage0 = xl.init_decode_stage(xcfg, C, bsz,
@@ -168,7 +166,7 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
                 token, stage, empty_run = carry
                 t, step_rng = xs
                 logits, stage = xl.decode_chunk_step(
-                    params, xcfg, token, state, stage, t, r_heads,
+                    params, xcfg, token, state, stage, t,
                     same_length=True)
                 step_rngs = jax.random.split(step_rng, token.shape[0])
                 next_tok = jax.vmap(

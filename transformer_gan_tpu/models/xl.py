@@ -450,8 +450,16 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
 class DecodeState(NamedTuple):
     """Big (chunk-level) decode K/V cache.
 
-    kv:    tuple over layers of (k, v), each [bsz, mem_len, n_head*d_head],
-           tail-aligned like XLMems (slot mem_len-1 = most recent).
+    kv:    tuple over layers of (kr, v):
+           kr [bsz, mem_len + mem_len+1, n_head*d_head] — rows 0..M-1 the
+              keys (tail-aligned like XLMems, slot M-1 = most recent), rows
+              M..2M the layer's projected positional embeddings (row M+j =
+              distance M-j). Keys and positional rows share one buffer so
+              the content (AC) and position (BD) score terms come out of a
+              SINGLE batched matmul — one HBM pass + one op-issue latency
+              instead of two (each serialized big op costs ~15us of fixed
+              latency on top of its streaming time).
+           v  [bsz, mem_len, n_head*d_head].
     count: int32 — number of valid tail slots (capped at mem_len).
     """
 
@@ -459,42 +467,59 @@ class DecodeState(NamedTuple):
     count: jnp.ndarray
 
 
-def init_decode_state(cfg: XLConfig, mem_len: int, bsz: int,
+def _r_rows(params, cfg: XLConfig, mem_len: int, bsz: int, dtype):
+    """Per-layer positional rows [bsz, M+1, h*dh] (row j = distance M-j),
+    tiled per lane so they can live inside the fused K‖R buffer."""
+    r_heads = precompute_r_heads(params, cfg, mem_len + 1)  # [L, M+1, h, dh]
+    hd = cfg.n_head * cfg.d_head
+    return [jnp.broadcast_to(
+        r_heads[i].reshape(mem_len + 1, hd).astype(dtype),
+        (bsz, mem_len + 1, hd)) for i in range(cfg.n_layer)]
+
+
+def init_decode_state(params, cfg: XLConfig, mem_len: int, bsz: int,
                       dtype=None) -> DecodeState:
     dtype = dtype or cfg.cdtype
     hd = cfg.n_head * cfg.d_head
+    rr = _r_rows(params, cfg, mem_len, bsz, dtype)
     kv = tuple(
-        (jnp.zeros((bsz, mem_len, hd), dtype=dtype),
+        (jnp.concatenate(
+            [jnp.zeros((bsz, mem_len, hd), dtype=dtype), rr[i]], axis=1),
          jnp.zeros((bsz, mem_len, hd), dtype=dtype))
-        for _ in range(cfg.n_layer))
+        for i in range(cfg.n_layer))
     return DecodeState(kv=kv, count=jnp.zeros((), jnp.int32))
 
 
-def decode_state_from_mems(cfg: XLConfig, mems: XLMems) -> DecodeState:
-    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense [b, M, h*dh]."""
+def decode_state_from_mems(params, cfg: XLConfig, mems: XLMems
+                           ) -> DecodeState:
+    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense K‖R + V."""
     if not cfg.cache_kv:
         raise ValueError("chunked decode requires cache_kv memory layout")
     b = mems.hids.shape[2]
     M = mems.hids.shape[4]
     hd = cfg.n_head * cfg.d_head
+    rr = _r_rows(params, cfg, M, b, mems.hids.dtype)
 
     def dense(x):  # [b, h, M, dh] -> [b, M, h*dh]
         return x.transpose(0, 2, 1, 3).reshape(b, M, hd)
 
-    kv = tuple((dense(mems.hids[i, 0]), dense(mems.hids[i, 1]))
-               for i in range(cfg.n_layer))
+    kv = tuple(
+        (jnp.concatenate([dense(mems.hids[i, 0]), rr[i]], axis=1),
+         dense(mems.hids[i, 1]))
+        for i in range(cfg.n_layer))
     return DecodeState(kv=kv, count=mems.count.astype(jnp.int32))
 
 
 def mems_from_decode_state(cfg: XLConfig, state: DecodeState) -> XLMems:
-    """Inverse of decode_state_from_mems."""
-    b, M, _ = state.kv[0][0].shape
+    """Inverse of decode_state_from_mems (drops the positional rows)."""
+    b, M, _ = state.kv[0][1].shape
 
     def heads(x):  # [b, M, h*dh] -> [b, h, M, dh]
         return x.reshape(b, M, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)
 
     hids = jnp.stack([
-        jnp.stack([heads(k), heads(v)], axis=0) for k, v in state.kv])
+        jnp.stack([heads(kr[:, :M]), heads(v)], axis=0)
+        for kr, v in state.kv])
     return XLMems(hids=hids, count=state.count)
 
 
@@ -512,12 +537,13 @@ def init_decode_stage(cfg: XLConfig, chunk: int, bsz: int,
 def merge_decode_state(cfg: XLConfig, state: DecodeState, stage: tuple,
                        n: int) -> DecodeState:
     """Fold the first ``n`` staged tokens into the big buffer (static
-    shift-left + append; one big copy per chunk, not per token)."""
-    M = state.kv[0][0].shape[1]
+    shift-left + append; one big copy per chunk, not per token). The
+    positional rows (kr rows M..2M) stay in place."""
+    M = state.kv[0][1].shape[1]
     kv = tuple(
-        (jnp.concatenate([k[:, n:], sk[:, :n]], axis=1),
+        (jnp.concatenate([kr[:, n:M], sk[:, :n], kr[:, M:]], axis=1),
          jnp.concatenate([v[:, n:], sv[:, :n]], axis=1))
-        for (k, v), (sk, sv) in zip(state.kv, stage))
+        for (kr, v), (sk, sv) in zip(state.kv, stage))
     return DecodeState(kv=kv, count=jnp.minimum(state.count + n, M))
 
 
@@ -537,18 +563,19 @@ def precompute_r_heads(params, cfg: XLConfig, R: int) -> jnp.ndarray:
 
 
 def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
-                      stage: tuple, t, r_heads, *,
+                      stage: tuple, t, *,
                       same_length: bool = True, status_vec=None):
     """One-token forward at inner-chunk step ``t`` (traced int32).
 
     inp: [bsz] int ids or [bsz, V] soft one-hots. ``state`` is the big
     read-only cache (as of chunk start), ``stage`` the chunk staging
-    buffers; ``r_heads`` from precompute_r_heads(params, cfg, mem_len+1).
-    Returns (logits [bsz, V], new stage). Distance bookkeeping: big slot j
-    is at distance M-j+t from the current token; staged slot s at t-s."""
-    b, M, hd = state.kv[0][0].shape
+    buffers. Returns (logits [bsz, V], new stage). Distance bookkeeping:
+    big slot j is at distance M-j+t from the current token; staged slot s
+    at t-s."""
+    b, M, hd = state.kv[0][1].shape
     C = stage[0][0].shape[1]
-    scale = 1.0 / (cfg.d_head ** 0.5)
+    h, dh = cfg.n_head, cfg.d_head
+    scale = 1.0 / (dh ** 0.5)
     sdt = cfg.sdtype
     neg = jnp.asarray(jnp.finfo(sdt).min, dtype=sdt)
 
@@ -564,8 +591,9 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
     sv = status_vec[None] if status_vec is not None else None
     x = embed_input(params, cfg, inp[None], sv)[0]              # [b, hd]
 
-    r_w_bias = params["r_w_bias"].astype(cfg.cdtype).reshape(hd)
+    r_w_bias = params["r_w_bias"].astype(cfg.cdtype)
     r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
+    eye = jnp.eye(h, dtype=cfg.cdtype)
     zero = jnp.zeros((), jnp.int32)
     new_stage = []
 
@@ -585,28 +613,36 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
         svv = jax.lax.dynamic_update_slice(
             svv, v[:, None, :].astype(svv.dtype), (zero, t, zero))
         new_stage.append((sk, svv))
-        k_big, v_big = state.kv[i]
+        kr, v_big = state.kv[i]
 
-        # content term: elementwise multiply + per-head reduce (matvec does
-        # not use the MXU; this reads K exactly once). Scores are kept in
-        # [b, h, klen] — klen on the minor (lane) dim — because an
-        # [.., klen, h=10] layout pads 10 lanes to 128 and makes the fp32
-        # softmax do ~13x the HBM traffic. The [b,M,h]->[b,h,M] transposes
-        # are ~100 KB, negligible.
-        qb = (q + r_w_bias)[:, None, :]                         # [b, 1, hd]
-        AC_big = (k_big.astype(cfg.cdtype) * qb).reshape(
-            b, M, cfg.n_head, cfg.d_head).sum(-1).transpose(0, 2, 1)
-        AC_st = (sk.astype(cfg.cdtype) * qb).reshape(
-            b, C, cfg.n_head, cfg.d_head).sum(-1).transpose(0, 2, 1)
+        # Content (AC) and position (BD) score terms from ONE batched
+        # matmul over the fused K‖R buffer: the per-head structure is a
+        # block-diagonal query matrix [hd, 2h] (rows of head h' hit output
+        # column h' only), so the MXU computes q·k and q_rr·r in a single
+        # HBM pass — per-op issue latency (~15us) dominates these
+        # memory-bound matvecs, so halving the op count beats any
+        # elementwise fusion. Scores stay in [b, h, klen] — klen minor —
+        # because [.., klen, h=10] pads 10 lanes to 128 (13x fp32 softmax
+        # traffic).
+        qw = q.reshape(b, h, dh) + r_w_bias
+        qr = q.reshape(b, h, dh) + r_r_bias
+        W2 = jnp.concatenate(
+            [(qw[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h),
+             (qr[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h)],
+            axis=-1)                                            # [b, hd, 2h]
+        S = jnp.einsum("bmk,bkh->bmh", kr.astype(cfg.cdtype), W2)
+        AC_big = S[:, :M, :h].transpose(0, 2, 1)                # [b, h, M]
+        BD_rev = S[:, M:, h:].transpose(0, 2, 1)                # [b, h, M+1]
 
-        # position term: distance-indexed (precomputed heads), aligned to
-        # slots by a roll (big) / dynamic slice (staging)
-        rr = q.reshape(b, cfg.n_head, cfg.d_head) + r_r_bias
-        BD_rev = jnp.einsum("bhd,jhd->bhj", rr,
-                            r_heads[i].astype(cfg.cdtype))      # [b, h, M+1]
+        AC_st = (sk.astype(cfg.cdtype)
+                 * qw.reshape(b, hd)[:, None, :]).reshape(
+            b, C, h, dh).sum(-1).transpose(0, 2, 1)             # [b, h, C]
+
+        # align the distance-indexed position term to slots: a roll (big) /
+        # dynamic slice (staging)
         BD_big = jnp.roll(BD_rev[..., :M], t, axis=-1)          # [b, h, M]
         BD_ext = jnp.concatenate(
-            [BD_rev, jnp.zeros((b, cfg.n_head, C - 1), BD_rev.dtype)],
+            [BD_rev, jnp.zeros((b, h, C - 1), BD_rev.dtype)],
             axis=-1) if C > 1 else BD_rev
         BD_st = jax.lax.dynamic_slice_in_dim(BD_ext, M - t, C, axis=-1)
 
@@ -632,14 +668,14 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
                                layer["ff_ln_bias"])
         else:
             ff_in = out
-        h = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
-                        + layer["ff_b1"].astype(cfg.cdtype))
-        h = h @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
+        ff = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
+                         + layer["ff_b1"].astype(cfg.cdtype))
+        ff = ff @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
             cfg.cdtype)
         if cfg.pre_lnorm:
-            x = out + h
+            x = out + ff
         else:
-            x = layer_norm(out + h, layer["ff_ln_scale"],
+            x = layer_norm(out + ff, layer["ff_ln_scale"],
                            layer["ff_ln_bias"])
 
     logits = compute_logits(params, cfg, x)
