@@ -168,3 +168,34 @@ def test_chunked_decode_after_priming():
             state = xl.merge_decode_state(xcfg, state, stage, C)
             stage = xl.init_decode_stage(xcfg, C, bsz)
             t = 0
+
+
+def test_chunked_decode_batched_lanes():
+    """Chunked decode with bsz>1 must equal per-lane forward_generate:
+    lanes are independent sequences sharing one compiled program."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, cache_kv=True)
+    params = xl.init_xl_params(xcfg, seed=11)
+    mem_len, bsz, C, T = 6, 3, 4, 10
+    rng = np.random.RandomState(7)
+    toks = rng.randint(0, xcfg.n_token, (T, bsz)).astype(np.int32)
+
+    mems = xl.init_mems(xcfg, mem_len, bsz)
+    state = xl.init_decode_state(params, xcfg, mem_len, bsz)
+    stage = xl.init_decode_stage(xcfg, C, bsz)
+    t = 0
+    for step_i in range(T):
+        inp = jnp.asarray(toks[step_i])
+        lg_ref, mems = xl.forward_generate(
+            params, xcfg, inp[None], mems, same_length=True)
+        lg_new, stage = xl.decode_chunk_step(
+            params, xcfg, inp, state, stage, jnp.asarray(t, jnp.int32),
+            same_length=True)
+        np.testing.assert_allclose(
+            np.asarray(lg_new), np.asarray(lg_ref[0]),
+            rtol=1e-4, atol=1e-4, err_msg=f"step {step_i}")
+        t += 1
+        if t == C:
+            state = xl.merge_decode_state(xcfg, state, stage, C)
+            stage = xl.init_decode_stage(xcfg, C, bsz)
+            t = 0
