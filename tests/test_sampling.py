@@ -199,3 +199,27 @@ def test_chunked_decode_batched_lanes():
             state = xl.merge_decode_state(xcfg, state, stage, C)
             stage = xl.init_decode_stage(xcfg, C, bsz)
             t = 0
+
+
+def test_gumbel_generation_chunked_matches_rolling():
+    """generate_tokens_gumbel must produce the same token sequences through
+    the chunked decode (cache_kv) as through the rolling forward path,
+    for the same PRNG key."""
+    import dataclasses
+    xcfg_kv = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                          dropout=0.0, dropatt=0.0, cache_kv=True)
+    xcfg_roll = dataclasses.replace(xcfg_kv, cache_kv=False)
+    params = xl.init_xl_params(xcfg_kv, seed=4)
+    seq_len, bsz = 11, 2  # not a multiple of the chunk; exercises rem
+    rng = jax.random.PRNGKey(42)
+    first = jnp.zeros((bsz,), jnp.int32)
+
+    toks_kv = sampling.generate_tokens_gumbel(
+        params, xcfg_kv, 1.0, seq_len, first,
+        xl.init_mems(xcfg_kv, seq_len, bsz), rng)
+    toks_roll = sampling.generate_tokens_gumbel(
+        params, xcfg_roll, 1.0, seq_len, first,
+        xl.init_mems(xcfg_roll, seq_len, bsz), rng)
+    assert np.asarray(toks_kv).shape == (seq_len, bsz)
+    np.testing.assert_array_equal(np.asarray(toks_kv),
+                                  np.asarray(toks_roll))

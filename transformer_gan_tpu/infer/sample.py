@@ -237,7 +237,61 @@ def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
                            seq_len: int, first_token, mems: xl.XLMems, rng):
     """Greedy-argmax gumbel generation used by the quality metrics
     (reference generate_tokens, train.py:694-744): tgt_len=1 incremental
-    loop with mem_len=seq_len, argmax of the gumbel one-hots."""
+    loop with mem_len=seq_len, argmax of the gumbel one-hots.
+
+    With cache_kv this runs on the two-level chunked decode (no per-token
+    memory shift); the gumbel draw uses the same [1, bsz, V] key shapes as
+    the general path, so both paths sample identical tokens."""
+
+    length = seq_len - 1
+    rngs = jax.random.split(rng, length)
+    if length <= 0:
+        return first_token[None, :]
+
+    if xcfg.cache_kv:
+        C = min(DECODE_CHUNK, length)
+        bsz = first_token.shape[0]
+        state0 = xl.decode_state_from_mems(params, xcfg, mems)
+
+        def run_chunk(state, token, chunk_rngs, n):
+            stage0 = xl.init_decode_stage(xcfg, C, bsz,
+                                          dtype=state.kv[0][1].dtype)
+
+            def body(carry, xs):
+                token, stage = carry
+                t, step_rng = xs
+                logits, stage = xl.decode_chunk_step(
+                    params, xcfg, token, state, stage, t,
+                    same_length=False)
+                onehot = xl.gumbel_softmax_st(logits[None], temperature,
+                                              step_rng)
+                next_tok = jnp.argmax(onehot[0], axis=-1).astype(jnp.int32)
+                return (next_tok, stage), next_tok
+
+            xs = (jnp.arange(n, dtype=jnp.int32), chunk_rngs)
+            (token, stage), toks = jax.lax.scan(body, (token, stage0), xs)
+            return token, stage, toks
+
+        n_full, rem = divmod(length, C)
+        token, state = first_token, state0
+        pieces = []
+        if n_full:
+            def outer(carry, chunk_rngs):
+                token, state = carry
+                token, stage, toks = run_chunk(state, token, chunk_rngs, C)
+                state = xl.merge_decode_state(xcfg, state, stage, C)
+                return (token, state), toks
+
+            (token, state), toks = jax.lax.scan(
+                outer, (token, state),
+                rngs[:n_full * C].reshape(n_full, C, *rngs.shape[1:]))
+            pieces.append(toks.reshape(n_full * C, bsz))
+        if rem:
+            token, stage, toks = run_chunk(state, token,
+                                           rngs[n_full * C:], rem)
+            pieces.append(toks)
+        tokens = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        return jnp.concatenate([first_token[None, :], tokens], axis=0)
 
     def body(carry, step_rng):
         token, mems = carry
@@ -246,6 +300,5 @@ def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
         next_tok = jnp.argmax(onehot[0], axis=-1).astype(jnp.int32)
         return (next_tok, new_mems), next_tok
 
-    rngs = jax.random.split(rng, seq_len - 1)
     (_, final_mems), tokens = jax.lax.scan(body, (first_token, mems), rngs)
     return jnp.concatenate([first_token[None, :], tokens], axis=0)
