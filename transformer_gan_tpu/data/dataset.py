@@ -1,7 +1,8 @@
 """Maestro token-shard dataset and batch iterators.
 
 Counterpart of the reference ``MusicDataset`` (model/data_utils.py:101-435)
-with the same emission contracts:
+with the same emission contracts, restructured around per-lane cursor
+objects pulling whole pieces from a shared epoch queue:
 
 * train iterator -> (data, target, reset_mem, batch_token_num, status_vec)
   over per-lane piece streams with pad fill and mem-reset flags at piece
@@ -10,6 +11,13 @@ with the same emission contracts:
   (reference :307-369),
 * eval iterator -> deterministic bptt windows over batches of pieces,
   rank-sharded by slicing the piece list (reference :371-435).
+
+Behavioral deltas vs the reference (deliberate):
+* random crop offsets come from the iterator's seeded RNG, not the global
+  ``np.random`` (the reference draws from the global stream at
+  data_utils.py:266,342, defeating its own per-rank seeding),
+* a crop window that does not fit (piece shorter than bptt+2 in the
+  one-window mode) starts at 0 instead of crashing ``randint``.
 
 Everything is numpy on host; arrays are handed to JAX by the training loop
 (device transfer is the caller's concern, keeping this layer testable and
@@ -25,6 +33,123 @@ import os
 import numpy as np
 
 from .vocab import BaseVocab
+
+
+class _EpochQueue:
+    """A single pass over a permutation of piece ids, consumed lazily by
+    the batch lanes (replaces the reference's shared ``next_idx`` counter)."""
+
+    def __init__(self, order):
+        self._order = order
+        self._head = 0
+
+    def take(self):
+        if self._head >= len(self._order):
+            return None
+        piece_id = self._order[self._head]
+        self._head += 1
+        return piece_id
+
+
+class _TrainLane:
+    """One batch column of the train iterator.
+
+    Walks whole pieces pulled from the shared epoch queue, emitting up to
+    ``bptt`` (data, target) tokens per batch. ``reset`` is raised on the
+    first window emitted after the lane switched pieces — the trainer uses
+    it to invalidate that row's XL memory. In one-window mode (mem_length
+    0 + random_crop) every emitted window is an independent crop and every
+    batch raises ``reset`` (reference data_utils.py:277-284).
+    """
+
+    def __init__(self, queue, pieces, lengths, bptt, rng, *,
+                 crop=False, one_window=False):
+        self._queue = queue
+        self._pieces = pieces
+        self._lengths = lengths
+        self._bptt = bptt
+        self._rng = rng
+        self._crop = crop
+        self._one_window = one_window
+        self._piece_id = None
+        self._cursor = 0
+        self._reset = False
+
+    def _start_next_piece(self):
+        """Pull pieces until one has at least 1 emittable token."""
+        while True:
+            pid = self._queue.take()
+            if pid is None:
+                self._piece_id = None
+                return False
+            if self._lengths[pid] <= 1:
+                # nothing but the start token: counts as a finished piece
+                self._reset = True
+                continue
+            self._piece_id = pid
+            self._cursor = 0
+            if self._crop:
+                margin = self._bptt if self._one_window else 0
+                hi = self._lengths[pid] - 1 - margin
+                self._cursor = self._rng.randint(0, hi) if hi >= 1 else 0
+            return True
+
+    def emit(self, data_col, target_col):
+        """Fill one column; return (n_tokens, reset_flag)."""
+        if self._piece_id is not None:
+            remaining = self._lengths[self._piece_id] - 1 - self._cursor
+            if remaining <= 0:
+                self._reset = True
+                self._piece_id = None
+        if self._piece_id is None:
+            if not self._start_next_piece():
+                reset, self._reset = self._reset, False
+                return 0, reset
+
+        seq = self._pieces[self._piece_id]
+        lo = self._cursor
+        n = min(self._lengths[self._piece_id] - 1 - lo, self._bptt)
+        data_col[:n] = seq[lo:lo + n]
+        target_col[:n] = seq[lo + 1:lo + 1 + n]
+        self._cursor = lo + n
+
+        reset, self._reset = self._reset, False
+        if self._one_window:
+            # every crop is its own context; drop the piece immediately
+            self._piece_id = None
+            reset = True
+        return n, reset
+
+
+class _DisLane:
+    """One batch column of the discriminator iterator: settles on the
+    first queue piece long enough to hold a full ``bptt`` crop, then emits
+    an independent random crop of it every batch (reference semantics:
+    lanes never advance past a usable piece, data_utils.py:334-357)."""
+
+    def __init__(self, queue, pieces, lengths, bptt, rng):
+        self._queue = queue
+        self._pieces = pieces
+        self._lengths = lengths
+        self._bptt = bptt
+        self._rng = rng
+        self._piece_id = None
+        self._dry = False
+
+    def emit(self, data_col):
+        if self._dry:
+            return 0
+        while self._piece_id is None:
+            pid = self._queue.take()
+            if pid is None:
+                self._dry = True
+                return 0
+            if self._lengths[pid] >= self._bptt:
+                self._piece_id = pid
+        n = self._lengths[self._piece_id]
+        lo = self._rng.randint(0, n - self._bptt + 1)
+        data_col[:] = self._pieces[self._piece_id][lo:lo + self._bptt]
+        return self._bptt
 
 
 class MusicDataset:
@@ -117,81 +242,51 @@ class MusicDataset:
             return self.test_data, self.test_seq_length
         raise NotImplementedError(split)
 
+    def _status_buffer(self, bptt, batch_size):
+        if not self.cfg.TRAIN.append_note_status:
+            return None
+        return np.zeros((bptt, batch_size, self._vocab.vec_len), dtype=bool)
+
     # ------------------------------------------------------------------ train
     def get_iterator(self, batch_size, bptt, device=None, split="train",
                      do_shuffle=True, seed=None):
-        split_data, split_seq_lengths = self._split(split)
-        total_sample_num = len(split_data)
+        pieces, lengths = self._split(split)
+        assert batch_size < len(pieces)
+        crop = bool(self.cfg.TRAIN.random_crop)
+        one_window = crop and self.cfg.TRAIN.mem_length == 0
 
         def iterator():
-            perm = np.arange(total_sample_num)
             rng = np.random.RandomState(seed)
-            if do_shuffle:
-                rng.shuffle(perm)
-            assert batch_size < total_sample_num
-            tracker_list = [(i, 0) for i in range(batch_size)]
-            next_idx = batch_size
+
+            def fresh_epoch():
+                order = np.arange(len(pieces))
+                if do_shuffle:
+                    rng.shuffle(order)
+                queue = _EpochQueue(order)
+                return [_TrainLane(queue, pieces, lengths, bptt, rng,
+                                   crop=crop, one_window=one_window)
+                        for _ in range(batch_size)]
+
+            lanes = fresh_epoch()
             data = np.empty((bptt, batch_size), dtype=np.int64)
             target = np.empty((bptt, batch_size), dtype=np.int64)
             reset_mem = np.empty((batch_size,), dtype=bool)
-
-            if self.cfg.TRAIN.append_note_status:
-                status_vec = np.zeros((bptt, batch_size, self._vocab.vec_len),
-                                      dtype=bool)
-            else:
-                status_vec = None
+            status_vec = self._status_buffer(bptt, batch_size)
 
             while True:
                 data[:] = self.vocab.pad_id
                 target[:] = self.vocab.pad_id
-                reset_mem[:] = False
                 batch_token_num = 0
-                for i in range(batch_size):
-                    idx, pos = tracker_list[i]
-                    while idx < total_sample_num:
-                        seq_id = perm[idx]
-                        seq_length = split_seq_lengths[seq_id]
-                        if pos + 1 >= seq_length:
-                            idx, pos = next_idx, 0
-                            tracker_list[i] = (idx, pos)
-                            next_idx += 1
-                            reset_mem[i] = True
-                            continue
-                        else:
-                            if self.cfg.TRAIN.random_crop:
-                                offset = 0
-                                if self.cfg.TRAIN.mem_length == 0:
-                                    offset = bptt
-                                if pos == 0:
-                                    pos = np.random.randint(
-                                        0, seq_length - 1 - offset)
-
-                            n_new = min(seq_length - 1 - pos, bptt)
-                            data[:n_new, i] = split_data[seq_id][
-                                pos:pos + n_new]
-                            target[:n_new, i] = split_data[seq_id][
-                                (pos + 1):(pos + 1 + n_new)]
-                            batch_token_num += n_new
-                            tracker_list[i] = (idx, pos + n_new)
-
-                            if (self.cfg.TRAIN.mem_length == 0
-                                    and self.cfg.TRAIN.random_crop):
-                                idx, pos = next_idx, 0
-                                tracker_list[i] = (idx, pos)
-                                next_idx += 1
-                                reset_mem[i] = True
-                            break
+                for j, lane in enumerate(lanes):
+                    n, reset_mem[j] = lane.emit(data[:, j], target[:, j])
+                    batch_token_num += n
                 if batch_token_num == 0:
-                    # End of one pass over the permutation.
-                    if do_shuffle:
-                        rng.shuffle(perm)
-                    else:
-                        return
-                    tracker_list = [(i, 0) for i in range(batch_size)]
-                    next_idx = batch_size
+                    if not do_shuffle:
+                        return  # one-pass loader
+                    lanes = fresh_epoch()
                     continue
 
-                if self.cfg.TRAIN.append_note_status:
+                if status_vec is not None:
                     status_vec[:, reset_mem, :] = False
                     self._vocab.update_status_vec(data, status_vec)
 
@@ -204,46 +299,32 @@ class MusicDataset:
     # ------------------------------------------------------------ dis (real)
     def get_dis_iterator(self, batch_size, bptt, device=None, split="train",
                          do_shuffle=True, seed=None):
-        split_data, split_seq_lengths = self._split(split)
-        total_sample_num = len(split_data)
+        pieces, lengths = self._split(split)
+        assert batch_size < len(pieces)
 
         def iterator():
-            perm = np.arange(total_sample_num)
             rng = np.random.RandomState(seed)
-            if do_shuffle:
-                rng.shuffle(perm)
-            assert batch_size < total_sample_num
-            tracker_list = [(i, 0) for i in range(batch_size)]
-            next_idx = batch_size
+
+            def fresh_epoch():
+                order = np.arange(len(pieces))
+                if do_shuffle:
+                    rng.shuffle(order)
+                queue = _EpochQueue(order)
+                return [_DisLane(queue, pieces, lengths, bptt, rng)
+                        for _ in range(batch_size)]
+
+            lanes = fresh_epoch()
             data = np.empty((bptt, batch_size), dtype=np.int64)
             while True:
                 data[:] = self.vocab.pad_id
                 batch_token_num = 0
-                for i in range(batch_size):
-                    idx, pos = tracker_list[i]
-                    while idx < total_sample_num:
-                        seq_id = perm[idx]
-                        seq_length = split_seq_lengths[seq_id]
-                        if bptt > seq_length:
-                            idx, pos = next_idx, 0
-                            tracker_list[i] = (idx, pos)
-                            next_idx += 1
-                            continue
-                        else:
-                            pos = np.random.randint(0, seq_length - bptt + 1)
-                            data[:bptt, i] = split_data[seq_id][pos:pos + bptt]
-                            batch_token_num += bptt
-                            tracker_list[i] = (idx, pos + bptt)
-                            break
+                for j, lane in enumerate(lanes):
+                    batch_token_num += lane.emit(data[:, j])
                 if batch_token_num == 0:
-                    if do_shuffle:
-                        rng.shuffle(perm)
-                    else:
+                    if not do_shuffle:
                         return
-                    tracker_list = [(i, 0) for i in range(batch_size)]
-                    next_idx = batch_size
+                    lanes = fresh_epoch()
                     continue
-
                 yield data.copy(), batch_token_num
 
         return iterator
@@ -251,53 +332,48 @@ class MusicDataset:
     # ------------------------------------------------------------------ eval
     def eval_iterator(self, batch_size, bptt, device=None, split="valid",
                       local_rank=0, world_size=0):
-        split_data, split_seq_lengths = self._split(split)
+        pieces, lengths = self._split(split)
         if world_size > 0:
-            all_sample_num = len(split_data)
-            begin_idx = all_sample_num // world_size * local_rank
-            if local_rank == world_size - 1:
-                end_idx = all_sample_num
-            else:
-                end_idx = all_sample_num // world_size * (local_rank + 1)
-            split_data = split_data[begin_idx:end_idx]
-            split_seq_lengths = split_seq_lengths[begin_idx:end_idx]
-        total_sample_num = len(split_data)
+            # Rank sharding by contiguous piece slices (pure index
+            # arithmetic — the reference's multi-rank eval contract,
+            # data_utils.py:382-391). Last rank absorbs the remainder.
+            per_rank = len(pieces) // world_size
+            lo = per_rank * local_rank
+            hi = (len(pieces) if local_rank == world_size - 1
+                  else per_rank * (local_rank + 1))
+            pieces = pieces[lo:hi]
+            lengths = lengths[lo:hi]
 
         def iterator():
             data = np.empty((bptt, batch_size), dtype=np.int64)
             target = np.empty((bptt, batch_size), dtype=np.int64)
-            if self.cfg.TRAIN.append_note_status:
-                status_vec = np.zeros((bptt, batch_size, self._vocab.vec_len),
-                                      dtype=bool)
-            else:
-                status_vec = None
-            for batch_begin in range(0, total_sample_num, batch_size):
-                reset_all_mem = True
-                batch_end = min(batch_begin + batch_size, total_sample_num)
-                max_seq_length = max(split_seq_lengths[batch_begin:batch_end])
-                for seq_begin in range(0, max_seq_length - 1, bptt):
+            status_vec = self._status_buffer(bptt, batch_size)
+            for group_lo in range(0, len(pieces), batch_size):
+                group = range(group_lo, min(group_lo + batch_size,
+                                            len(pieces)))
+                longest = max(lengths[i] for i in group)
+                first_window = True
+                for win_lo in range(0, longest - 1, bptt):
                     data[:] = self.vocab.pad_id
                     target[:] = self.vocab.pad_id
                     batch_token_num = 0
-                    for i in range(batch_begin, batch_end):
-                        if split_seq_lengths[i] > seq_begin + 1:
-                            n_new = (min(seq_begin + bptt,
-                                         split_seq_lengths[i] - 1) - seq_begin)
-                            data[:n_new, i - batch_begin] = split_data[i][
-                                seq_begin:seq_begin + n_new]
-                            target[:n_new, i - batch_begin] = split_data[i][
-                                (seq_begin + 1):(seq_begin + n_new + 1)]
-                            batch_token_num += n_new
+                    for j, i in enumerate(group):
+                        n = min(win_lo + bptt, lengths[i] - 1) - win_lo
+                        if n <= 0:
+                            continue
+                        data[:n, j] = pieces[i][win_lo:win_lo + n]
+                        target[:n, j] = pieces[i][win_lo + 1:win_lo + 1 + n]
+                        batch_token_num += n
 
-                    if self.cfg.TRAIN.append_note_status:
-                        if reset_all_mem:
+                    if status_vec is not None:
+                        if first_window:
                             status_vec[:] = False
                         self._vocab.update_status_vec(data, status_vec)
 
-                    yield (data.copy(), target.copy(), reset_all_mem,
+                    yield (data.copy(), target.copy(), first_window,
                            batch_token_num,
                            status_vec.copy() if status_vec is not None
                            else None)
-                    reset_all_mem = False
+                    first_window = False
 
         return iterator

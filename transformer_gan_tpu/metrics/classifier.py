@@ -42,11 +42,20 @@ class Classifier(Metrics):
 
         cfg = bert_mod.BertConfig()
         params = bert_mod.init_bert_params(cfg, seed=0)
+        self.load_failed = False
         try:
             params = ckpt.load_generator_params(self.model_name_or_path,
                                                 params)
-        except Exception:
-            pass  # fall back to random features (still a valid probe)
+        except Exception as e:
+            # A typo'd model_path must not silently yield a plausible
+            # accuracy from random-init features (reference would crash;
+            # ADVICE r1 medium).
+            import logging
+            self.load_failed = True
+            logging.getLogger(__name__).error(
+                "Classifier metric: FAILED to load BERT checkpoint %r (%s); "
+                "scores will be reported as invalid (-1.0)",
+                self.model_name_or_path, e)
 
         @jax.jit
         def fwd(params, input_ids):
@@ -96,6 +105,8 @@ class Classifier(Metrics):
 
         if self._fwd is None:
             self._load_model()
+        if self.load_failed:
+            return -1.0  # invalid marker: checkpoint didn't load
 
         real_x, real_y = self._blocks(self.real_text, 0)
         gen_x, gen_y = self._blocks(self.test_text, 1)
