@@ -46,3 +46,49 @@ def place_batch(mesh: Mesh, data_c, target_c, reset_c):
     r = jax.device_put(jnp.asarray(reset_c),
                        NamedSharding(mesh, P(None, "data")))
     return d, t, r
+
+
+def place_replicated(mesh: Mesh, tree):
+    """Replicate every leaf of a pytree (GAN discriminator params and the
+    gen/dis/dis_D optimizer states — the reference DDP-broadcasts the whole
+    TransformerGAN, model/train.py:649-655)."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def place_gan_batch(mesh: Mesh, data_c):
+    """Pre-chunked dis batch [bc, dis_tgt, bsz_c]: shard bsz_c."""
+    import jax.numpy as jnp
+    return jax.device_put(jnp.asarray(data_c),
+                          NamedSharding(mesh, P(None, None, "data")))
+
+
+def place_rows(mesh: Mesh, x, shard: bool = True):
+    """Per-batch-row vector [bsz] (e.g. the PPO P0 snapshot): sharded
+    when the row count divides the mesh, else replicated."""
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    spec = P("data") if shard else P()
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def place_eval_batch(mesh: Mesh, data, target, status_vec=None):
+    """[tgt, bsz] eval windows: shard the batch axis (reference shards
+    eval only across processes; on a mesh the local batch is split too
+    so eval doesn't serialize on one device)."""
+    import jax.numpy as jnp
+    sh = NamedSharding(mesh, P(None, "data"))
+    d = jax.device_put(jnp.asarray(data), sh)
+    t = jax.device_put(jnp.asarray(target), sh)
+    sv = (jax.device_put(jnp.asarray(status_vec), sh)
+          if status_vec is not None else None)
+    return d, t, sv
+
+
+def place_eval_mems(mesh: Mesh, mems: xl.XLMems) -> xl.XLMems:
+    """Un-chunked eval memory: the batch axis is 2 in both layouts
+    (cache_kv [L, 2, bsz, h, M, dh]; raw [L+1, M, bsz, d])."""
+    hids = jax.device_put(
+        mems.hids, NamedSharding(mesh, P(None, None, "data")))
+    count = jax.device_put(mems.count, NamedSharding(mesh, P()))
+    return xl.XLMems(hids=hids, count=count)

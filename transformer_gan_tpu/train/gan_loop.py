@@ -184,6 +184,31 @@ class GanPhases:
         self.P0 = jnp.zeros((bsz_chunk_dis,), jnp.float32)
         self.P0_initialized = False
 
+        # Mesh placement: the reference DDP-wraps the WHOLE TransformerGAN
+        # (train.py:649-655) so dis/gen-GAN gradients are all-reduced too.
+        # Here: dis/disD params + the three opt states replicate, GAN
+        # batches shard their row axis, and GSPMD inserts the grad psums.
+        self.mesh = trainer.mesh if trainer.multi_device else None
+        if self.mesh is not None:
+            from ..parallel import sharding as psh
+            n_dev = int(trainer.n_devices)
+            assert bsz_chunk_dis % n_dev == 0, (
+                f"GAN micro-batch rows {bsz_chunk_dis} must divide the "
+                f"{n_dev}-device mesh")
+            self.dis_params = psh.place_replicated(self.mesh,
+                                                   self.dis_params)
+            if self.dis_opt_state is not None:
+                self.dis_opt_state = psh.place_replicated(
+                    self.mesh, self.dis_opt_state)
+            self.gen_opt_state = psh.place_replicated(self.mesh,
+                                                      self.gen_opt_state)
+            if self.disD_params is not None:
+                self.disD_params = psh.place_replicated(self.mesh,
+                                                        self.disD_params)
+                self.disD_opt_state = psh.place_replicated(
+                    self.mesh, self.disD_opt_state)
+            self.P0 = psh.place_rows(self.mesh, self.P0)
+
         self.rng = jax.random.PRNGKey(cfg.TRAIN.seed + 777)
         self._dis_stream = trainer.dis_iter()
         self._build_steps()
@@ -332,7 +357,11 @@ class GanPhases:
     # ------------------------------------------------------------------
     def _next_dis_batch(self):
         data, _ = next(self._dis_stream)
-        return jnp.asarray(self._chunk_data(data))
+        chunked = self._chunk_data(data)
+        if self.mesh is not None:
+            from ..parallel import sharding as psh
+            return psh.place_gan_batch(self.mesh, chunked)
+        return jnp.asarray(chunked)
 
     def _split_rng(self):
         self.rng, r = jax.random.split(self.rng)

@@ -132,6 +132,11 @@ class Trainer:
         # axis; params replicate; gradient all-reduce is implicit)
         self.multi_device = int(self.n_devices) > 1
         if self.multi_device:
+            assert self.bsz_chunk % int(self.n_devices) == 0, (
+                f"micro-batch rows ({self.bsz_chunk} = batch_size "
+                f"{cfg.TRAIN.batch_size} / processes {self.n_processes} / "
+                f"batch_chunk {cfg.TRAIN.batch_chunk}) must divide the "
+                f"{int(self.n_devices)}-device mesh")
             from ..parallel import sharding as psh
             self.state = psh.place_train_state(self.state, self.mesh)
             self._place_batch = lambda d, t, r: psh.place_batch(
@@ -217,21 +222,32 @@ class Trainer:
     # ------------------------------------------------------------------
     def evaluate(self, eval_iter, mode: str = "eval"):
         """Masked-NLL evaluation over rank-sharded piece windows
-        (reference evaluate(), train.py:747-829)."""
+        (reference evaluate(), train.py:747-829). On a local mesh the
+        batch axis of every eval window (and of the XL memory) is sharded
+        so eval parallelizes over devices instead of serializing on one."""
         cfg = self.cfg
         total_token_num = 0
         total_nll = 0.0
         mems = xl.init_mems(self.xcfg, cfg.EVALUATE.mem_length,
                             cfg.EVALUATE.batch_size)
+        shard_eval = (self.multi_device
+                      and cfg.EVALUATE.batch_size % self.n_devices == 0)
+        if shard_eval:
+            from ..parallel import sharding as psh
+            mems = psh.place_eval_mems(self.mesh, mems)
         for (data, target, reset_all, batch_token_num,
              status_vec) in eval_iter():
             if reset_all:
                 mems = tstep.reset_eval_mems(mems)
-            sv = (jnp.asarray(status_vec) if status_vec is not None
-                  else None)
+            if shard_eval:
+                data, target, sv = psh.place_eval_batch(
+                    self.mesh, data, target, status_vec)
+            else:
+                data, target = jnp.asarray(data), jnp.asarray(target)
+                sv = (jnp.asarray(status_vec) if status_vec is not None
+                      else None)
             nll_sum, cnt, mems = self.eval_step_fn(
-                self.state.params, jnp.asarray(data), jnp.asarray(target),
-                mems, sv)
+                self.state.params, data, target, mems, sv)
             total_nll += float(nll_sum)
             total_token_num += int(cnt)
 
