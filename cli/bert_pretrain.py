@@ -42,13 +42,22 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
+    # data-parallel over all local devices (reference BERT/main.py:267-275
+    # used DDP/DataParallel); batch rows shard over the mesh
+    import jax
+    from transformer_gan_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+
     from transformer_gan_tpu.bert.mlm import MlmTrainer
     trainer = MlmTrainer(
+        mesh=mesh,
         data_dir=args.train_data_file, output_dir=args.output_dir,
         vocab_file=args.vocab_file,
         num_hidden_layers=args.num_hidden_layers,
         hidden_size=args.hidden_size, block_size=args.block_size,
-        batch_size=args.per_gpu_train_batch_size,
+        # DDP semantics: global batch = per-device batch x device count
+        batch_size=args.per_gpu_train_batch_size * (
+            len(jax.devices()) if mesh is not None else 1),
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         adam_epsilon=args.adam_epsilon, warmup_steps=args.warmup_steps,
         max_steps=args.max_steps, max_grad_norm=args.max_grad_norm,

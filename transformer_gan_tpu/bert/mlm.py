@@ -91,7 +91,8 @@ class MlmTrainer:
                  max_steps: int = 10000, max_grad_norm: float = 1.0,
                  mlm_probability: float = 0.15, seed: int = 42,
                  logging_steps: int = 100, save_steps: int = 1000,
-                 save_total_limit: int = 2, eval_steps: int = 1000):
+                 save_total_limit: int = 2, eval_steps: int = 1000,
+                 mesh=None):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.tokenizer = MIDITokenizer(vocab_file)
@@ -148,9 +149,33 @@ class MlmTrainer:
         )
         self.params = params
         self.opt_state = self.optimizer.init(params)
+
+        # Data-parallel mesh (reference BERT/main.py:267-275 wraps the
+        # model in DDP/DataParallel): params/opt replicated, block batches
+        # sharded on their row axis, GSPMD all-reduces the gradients.
+        self.mesh = mesh if (mesh is not None
+                             and int(np.prod(mesh.devices.shape)) > 1) \
+            else None
+        if self.mesh is not None:
+            from ..parallel import sharding as psh
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            assert batch_size % n_dev == 0, (
+                f"batch_size {batch_size} must divide the {n_dev}-device "
+                f"mesh")
+            self.params = psh.place_replicated(self.mesh, self.params)
+            self.opt_state = psh.place_replicated(self.mesh, self.opt_state)
+
         self.rng = jax.random.PRNGKey(seed)
         self.step = 0
         self._build_steps()
+
+    def _place(self, batch: np.ndarray):
+        """[rows, block] batch onto the mesh (rows sharded) or device."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(
+                jnp.asarray(batch), NamedSharding(self.mesh, P("data")))
+        return jnp.asarray(batch)
 
     def _build_steps(self):
         cfg = self.cfg
@@ -215,7 +240,7 @@ class MlmTrainer:
         rng = jax.random.PRNGKey(0)
         for i in range(0, len(self.valid_blocks) - self.batch_size + 1,
                        self.batch_size):
-            batch = jnp.asarray(self.valid_blocks[i:i + self.batch_size])
+            batch = self._place(self.valid_blocks[i:i + self.batch_size])
             rng, r = jax.random.split(rng)
             losses.append(float(self._eval_step(self.params, batch, r)))
         return float(np.mean(losses)) if losses else float("nan")
@@ -229,7 +254,7 @@ class MlmTrainer:
             if pos + self.batch_size > n:
                 order = np.random.RandomState(self.step).permutation(n)
                 pos = 0
-            batch = jnp.asarray(self.train_blocks[order[
+            batch = self._place(self.train_blocks[order[
                 pos:pos + self.batch_size]])
             pos += self.batch_size
             self.rng, r = jax.random.split(self.rng)
