@@ -1,18 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: training tokens/sec/chip on the flagship XL model.
+"""Benchmark: training + GAN-phase + generation throughput on one chip.
 
-Runs the REAL jitted training step (the same program cli/train.py uses) at
-the reference baseline operating point scaled per chip: 6L/10H/d500/ffn1000,
-tgt_len 128, mem_len 1024, Adam+inv_sqrt, bf16 compute — per-chip batch 128
-(the reference ran global batch 512 over 4 GPUs; training_config/
-experiment_baseline.yml:8-35).
+Measures, with the REAL jitted programs the CLIs use:
 
-Prints ONE JSON line. ``vs_baseline`` divides by the BASELINE.md target of
-5x the reference's per-GPU throughput; the reference publishes no numbers
-(BASELINE.json "published": {}), so the denominator uses an estimated
-12k tokens/s per V100 for the 4-GPU DDP baseline -> target 60k
-tokens/s/chip. vs_baseline >= 1.0 means the >=5x goal is met under that
-estimate.
+* ``train_tokens_per_sec_per_chip`` (primary) — the MLE training step at
+  the reference baseline operating point scaled per chip (6L/10H/d500/
+  ffn1000, tgt 128, mem 1024, Adam+inv_sqrt, bf16; the reference ran
+  global batch 512 over 4 GPUs; training_config/experiment_baseline.yml).
+* ``mfu`` — model FLOPs utilization: XLA's compiled-HLO flop count for the
+  step (fallback: analytic fwd+bwd formula) divided by the chip's peak
+  bf16 FLOP/s. A measured quantity, not an estimate.
+* ``gan_gen_step_ms`` / ``gan_dis_step_ms`` / ``gan_sample_tokens_per_s``
+  — the adversarial phase steps at the spanbert op-point (BERT-D wgan-gp,
+  dis tgt/mem 128, sample_chunks_mem 2, context 5, per-chip batch 128 in
+  4 micro-chunks; training_config/experiment_spanbert.yml). This is the
+  reference's #1 hot loop (sequential gumbel sampling,
+  transformer_gan.py:299-334).
+* ``gen_events_per_s`` — unconditional generation at the reference
+  inference op-point (mem 4146, top-k 32, temperature 0.95, single
+  stream; model/inference_config/inference_unconditional.yml).
+
+Prints exactly ONE JSON line. ``vs_baseline`` divides the primary metric
+by the BASELINE.md target of 5x the reference's per-GPU throughput; the
+reference publishes no numbers (BASELINE.json "published": {}), so the
+denominator is an ESTIMATE (12k tokens/s per V100 x 5 = 60k target) —
+flagged via ``vs_baseline_basis``. ``mfu`` is the measured headline.
 """
 
 import json
@@ -26,8 +38,55 @@ ASSUMED_REF_TOKENS_PER_S_PER_GPU = 12_000.0
 TARGET_MULTIPLIER = 5.0
 TARGET = ASSUMED_REF_TOKENS_PER_S_PER_GPU * TARGET_MULTIPLIER
 
+# bf16 peak FLOP/s per chip by device kind (public spec sheets)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def main():
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "") or ""
+    for name, peak in PEAK_BF16.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _analytic_step_flops(xcfg, bsz, tgt, mem) -> float:
+    """Fwd+bwd model FLOPs for one training step (bwd = 2x fwd): all
+    parameter matmuls incl. the per-step positional projection r @ r_w
+    (klen rows per qlen tokens) and the attention score/context matmuls."""
+    d, h, dh, di, L, V = (xcfg.d_model, xcfg.n_head, xcfg.d_head,
+                          xcfg.d_inner, xcfg.n_layer, xcfg.n_token)
+    klen = mem + tgt
+    per_tok_layer = 2 * d * (3 * h * dh) + 2 * (h * dh) * d \
+        + 2 * d * di + 2 * di * d
+    rnet_layer = 2 * d * (h * dh) * klen / tgt
+    attn_layer = 2 * klen * (h * dh) * 3          # AC, BD, PV
+    fwd_per_tok = L * (per_tok_layer + rnet_layer + attn_layer) + 2 * d * V
+    return 3.0 * fwd_per_tok * bsz * tgt
+
+
+def _compiled_step_flops(step_fn, args) -> float | None:
+    """XLA's own flop count for the compiled step, when exposed."""
+    try:
+        compiled = step_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_mle(on_tpu: bool) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,9 +94,6 @@ def main():
     from transformer_gan_tpu.models import xl
     from transformer_gan_tpu.train import optim as topt
     from transformer_gan_tpu.train import step as tstep
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
 
     xcfg = xl.XLConfig(
         compute_dtype="bfloat16" if on_tpu else "float32",
@@ -47,13 +103,14 @@ def main():
     bsz = 128 if on_tpu else 16
     tgt, mem = 128, 1024
     batch_chunk = 1  # one fused pass per step; chunking is a memory knob
-    warmup, iters = 3, 20
+    warmup, iters = 3, 20 if on_tpu else 3
 
     schedule = topt.make_schedule("inv_sqrt", 4e-3, 100000, 1e-4, 4000)
     optimizer = topt.make_optimizer("adam", 4e-3, schedule, 1.0)
     state = tstep.init_train_state(params, optimizer, xcfg, batch_chunk,
                                    mem, bsz // batch_chunk, seed=0,
-                                   rng_impl="rbg")
+                                   rng_impl="rbg" if on_tpu else
+                                   "threefry2x32")
     step_fn = tstep.make_mle_train_step(xcfg, optimizer, batch_chunk,
                                         pad_id=1, donate=True)
 
@@ -69,6 +126,16 @@ def main():
 
     batches = [make_batch() for _ in range(4)]
 
+    # flop count from the compiled program BEFORE donation invalidates
+    # buffers (the lowered copy does not donate anything we reuse)
+    nondonating = tstep.make_mle_train_step(xcfg, optimizer, batch_chunk,
+                                            pad_id=1, donate=False)
+    step_flops = _compiled_step_flops(nondonating, (state,) + batches[0])
+    flops_basis = "xla_cost_analysis"
+    if step_flops is None:
+        step_flops = _analytic_step_flops(xcfg, bsz, tgt, mem)
+        flops_basis = "analytic"
+
     for i in range(warmup):
         state, metrics = step_fn(state, *batches[i % len(batches)])
     # A host fetch is the only reliable barrier on the tunnel-backed TPU
@@ -82,12 +149,187 @@ def main():
     elapsed = time.perf_counter() - t0
 
     tokens_per_s = bsz * tgt * iters / elapsed
-    print(json.dumps({
+    out = {
         "metric": "train_tokens_per_sec_per_chip",
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / TARGET, 3),
-    }))
+        "vs_baseline_basis": (
+            "ESTIMATE: 5x target over an assumed 12k tokens/s/GPU for the "
+            "reference 4-GPU DDP baseline (no published numbers)"),
+    }
+    peak = _peak_flops(jax.devices()[0])
+    if peak and on_tpu:
+        out["mfu"] = round(step_flops * (iters / elapsed) / peak, 4)
+        out["mfu_flops_basis"] = flops_basis
+        out["step_flops"] = step_flops
+    return out
+
+
+def bench_gan(on_tpu: bool) -> dict:
+    """gen/dis phase steps at the spanbert op-point (per chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from transformer_gan_tpu.models import bert as bert_mod
+    from transformer_gan_tpu.models import gan as gan_mod
+    from transformer_gan_tpu.models import xl
+    from transformer_gan_tpu.train import step as tstep
+
+    if on_tpu:
+        xcfg = xl.XLConfig(compute_dtype="bfloat16", cache_kv=True,
+                           use_pallas=True)
+        gcfg = gan_mod.GanConfig(
+            dis_type="bert", loss_type="wgan-gp", tgt_len=128, mem_len=128,
+            context_len=5, sample_chunks_mem=2, batch_chunk=4,
+            gen_loss_factor=1.0, dis_loss_factor=1.0)
+        dis_cfg = bert_mod.BertConfig(vocab_size=311,
+                                      compute_dtype="bfloat16")
+        bsz, warmup, iters = 128, 2, 6
+    else:  # smoke shapes
+        xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                           cache_kv=True)
+        gcfg = gan_mod.GanConfig(
+            dis_type="bert", loss_type="wgan-gp", tgt_len=16, mem_len=16,
+            context_len=3, sample_chunks_mem=2, batch_chunk=2)
+        dis_cfg = bert_mod.BertConfig(vocab_size=311, hidden_size=32,
+                                      num_hidden_layers=2,
+                                      num_attention_heads=2,
+                                      intermediate_size=64)
+        bsz, warmup, iters = 4, 1, 2
+
+    gen_params = xl.init_xl_params(xcfg, seed=0)
+    dis_params = bert_mod.init_bert_params(dis_cfg, seed=17)
+    bc = gcfg.batch_chunk
+    scale = 1.0 / (bc * gcfg.sample_chunks_mem)
+
+    gen_opt = optax.adam(2e-3)
+    dis_opt = optax.adam(2e-3)
+    gen_opt_state = gen_opt.init(gen_params)
+    dis_opt_state = dis_opt.init(dis_params)
+
+    def dis_loss_fn(dp, gp, d, rng):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            jax.lax.stop_gradient(gp), dp, dis_cfg, xcfg, gcfg, d, 1.0,
+            rng, train_dis=True)
+        return (losses["dis_loss"] + losses["gp_loss"]) * scale, losses
+
+    def gen_loss_fn(gp, dp, d, rng):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            gp, jax.lax.stop_gradient(dp), dis_cfg, xcfg, gcfg, d, 1.0,
+            rng, train_dis=False)
+        return losses["gen_loss"] * scale, losses
+
+    def make_phase(loss_fn, opt):
+        grad = jax.grad(loss_fn, has_aux=True)
+
+        def phase(params, other, opt_state, data_c, rng):
+            rngs = jax.random.split(rng, bc)
+
+            def body(carry, xs):
+                acc, lsum = carry
+                d, r = xs
+                g, losses = grad(params, other, d, r)
+                acc = jax.tree.map(jnp.add, acc, g)
+                key = "dis_loss" if loss_fn is dis_loss_fn else "gen_loss"
+                return (acc, lsum + losses[key]), None
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (g, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())),
+                                        (data_c, rngs))
+            updates, new_opt = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, lsum
+
+        return jax.jit(phase, donate_argnums=(0, 2))
+
+    dis_step = make_phase(dis_loss_fn, dis_opt)
+    gen_step = make_phase(gen_loss_fn, gen_opt)
+
+    rng = np.random.RandomState(0)
+    data_c = jnp.asarray(tstep.chunk_batch(
+        rng.randint(2, 310, (gcfg.tgt_len, bsz)), bc))
+    key = jax.random.PRNGKey(0)
+
+    def timeit(fn, params, other, opt_state):
+        nonlocal key
+        for _ in range(warmup):
+            key, k = jax.random.split(key)
+            params, opt_state, lsum = fn(params, other, opt_state, data_c,
+                                         k)
+        float(lsum)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, opt_state, lsum = fn(params, other, opt_state, data_c,
+                                         k)
+        float(lsum)
+        # params/opt_state were donated each call: hand back live buffers
+        return (time.perf_counter() - t0) / iters, params
+
+    dis_t, dis_params = timeit(dis_step, dis_params, gen_params,
+                               dis_opt_state)
+    gen_t, gen_params = timeit(gen_step, gen_params, dis_params,
+                               gen_opt_state)
+    sampled = bsz * (gcfg.tgt_len - gcfg.context_len
+                     - (gcfg.sample_chunks_mem - 1))
+    return {
+        "gan_gen_step_ms": round(gen_t * 1e3, 2),
+        "gan_dis_step_ms": round(dis_t * 1e3, 2),
+        "gan_sample_tokens_per_s": round(sampled / gen_t, 1),
+    }
+
+
+def bench_generation(on_tpu: bool) -> dict:
+    """Unconditional generation, reference inference op-point."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_gan_tpu.infer import sample as isample
+    from transformer_gan_tpu.models import xl
+
+    if on_tpu:
+        xcfg = xl.XLConfig(compute_dtype="bfloat16", cache_kv=True,
+                           use_pallas=True)
+        mem_len, length, warmup_len = 4146, 2048, 64
+    else:
+        xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                           cache_kv=True)
+        mem_len, length, warmup_len = 64, 64, 64
+
+    params = xl.init_xl_params(xcfg, seed=0)
+    scfg = isample.SamplingConfig(technique="topk", topk=32,
+                                  temperature=0.95)
+    first = jnp.zeros((1,), jnp.int32)
+    mems = xl.init_mems(xcfg, mem_len, 1)
+
+    toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
+                                      warmup_len, jax.random.PRNGKey(0))
+    int(toks[-1, 0])
+    if length != warmup_len:
+        toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
+                                          length, jax.random.PRNGKey(0))
+        int(toks[-1, 0])
+    t0 = time.perf_counter()
+    toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
+                                      length, jax.random.PRNGKey(1))
+    int(toks[-1, 0])
+    elapsed = time.perf_counter() - t0
+    return {"gen_events_per_s": round(length / elapsed, 1)}
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = bench_mle(on_tpu)
+    for fn in (bench_gan, bench_generation):
+        try:
+            out.update(fn(on_tpu))
+        except Exception as e:  # never break the primary metric
+            out[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

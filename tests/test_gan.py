@@ -250,3 +250,104 @@ def test_temperature_schedules_match_reference():
             ours = tl.get_fixed_temperature(100.0, i, 100, adapt)
             theirs = ref_temp(100.0, i, 100, adapt)
             np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Chunked (two-level decode cache) GAN sampling vs the rolling oracle
+# ---------------------------------------------------------------------------
+
+def _chunked_setup(tgt_len, sample_chunks_mem, context_len=3):
+    base = dict(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                dropout=0.0, dropatt=0.0, n_token=310)
+    xcfg_roll = xl.XLConfig(cache_kv=False, **base)
+    xcfg_chunk = xl.XLConfig(cache_kv=True, **base)
+    gen_params = xl.init_xl_params(xcfg_roll, seed=0)
+    gcfg = gan_mod.GanConfig(dis_type="cnn", loss_type="rsgan",
+                             tgt_len=tgt_len, mem_len=tgt_len,
+                             context_len=context_len,
+                             sample_chunks_mem=sample_chunks_mem,
+                             n_token=310)
+    rcfg = disc_mod.RelganConfig(embed_dim=16, num_rep=4, vocab_size=310)
+    dis_params = disc_mod.init_relgan_params(rcfg, seed=1)
+    return xcfg_roll, xcfg_chunk, gen_params, gcfg, rcfg, dis_params
+
+
+@pytest.mark.parametrize("tgt_len,chunks", [(12, 2), (70, 1)])
+def test_chunked_gan_sampling_matches_rolling(tgt_len, chunks):
+    """sample_fake_chunks on the chunked decode cache draws the SAME
+    tokens as the rolling path (identical per-step gumbel key shapes);
+    tgt_len=70 exercises the inner-chunk merge (C=32: 2 full + rem 5)."""
+    (xcfg_roll, xcfg_chunk, gen_params, gcfg, _,
+     _) = _chunked_setup(tgt_len, chunks)
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(2, 310, (tgt_len, 3)))
+    key = jax.random.PRNGKey(7)
+    out_roll = gan_mod.sample_fake_chunks(gen_params, xcfg_roll, gcfg,
+                                          data, 1.0, key)
+    out_chunk = gan_mod.sample_fake_chunks(gen_params, xcfg_chunk, gcfg,
+                                           data, 1.0, key)
+    assert len(out_roll) == len(out_chunk) == chunks
+    for (f_r, r_r), (f_c, r_c) in zip(out_roll, out_chunk):
+        np.testing.assert_array_equal(np.asarray(f_r.argmax(-1)),
+                                      np.asarray(f_c.argmax(-1)))
+        np.testing.assert_array_equal(np.asarray(r_r), np.asarray(r_c))
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_c),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("tgt_len,chunks", [(12, 2), (70, 1)])
+def test_chunked_gan_gen_gradients_match_rolling(tgt_len, chunks):
+    """gen-phase loss AND all generator gradients agree between the
+    chunked decode path and the rolling oracle (same detach semantics:
+    K/V memory detached per step, live self-attention, r_w gradient from
+    every step, chunk-boundary input detach)."""
+    (xcfg_roll, xcfg_chunk, gen_params, gcfg, rcfg,
+     dis_params) = _chunked_setup(tgt_len, chunks)
+    rng = np.random.RandomState(1)
+    data = jnp.asarray(rng.randint(2, 310, (tgt_len, 3)))
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(gp, xcfg):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            gp, dis_params, rcfg, xcfg, gcfg, data, 1.0, key,
+            train_dis=False)
+        return losses["gen_loss"]
+
+    l_r, g_r = jax.value_and_grad(lambda p: loss_fn(p, xcfg_roll))(
+        gen_params)
+    l_c, g_c = jax.value_and_grad(lambda p: loss_fn(p, xcfg_chunk))(
+        gen_params)
+    np.testing.assert_allclose(float(l_r), float(l_c), rtol=1e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_r)
+    flat_c = jax.tree_util.tree_leaves(g_c)
+    assert len(flat_r) == len(flat_c)
+    for (path, a), b in zip(flat_r, flat_c):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_chunked_gan_dis_loss_matches_rolling():
+    """dis-phase losses (incl. gradient penalty) agree across paths."""
+    (xcfg_roll, xcfg_chunk, gen_params, gcfg, rcfg,
+     dis_params) = _chunked_setup(12, 2)
+    gcfg = gan_mod.GanConfig(**{**gcfg.__dict__, "loss_type": "rsgan-gp"})
+    rng = np.random.RandomState(2)
+    data = jnp.asarray(rng.randint(2, 310, (12, 3)))
+    key = jax.random.PRNGKey(5)
+
+    def loss_fn(dp, xcfg):
+        losses, _ = gan_mod.gan_losses_for_batch(
+            gen_params, dp, rcfg, xcfg, gcfg, data, 1.0, key,
+            train_dis=True)
+        return losses["dis_loss"] + losses["gp_loss"]
+
+    l_r, g_r = jax.value_and_grad(lambda p: loss_fn(p, xcfg_roll))(
+        dis_params)
+    l_c, g_c = jax.value_and_grad(lambda p: loss_fn(p, xcfg_chunk))(
+        dis_params)
+    np.testing.assert_allclose(float(l_r), float(l_c), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)

@@ -126,6 +126,86 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
     return samples, mems, last
 
 
+# Inner-scan length of the chunked GAN sampling path: the big decode K/V
+# cache is copied once per GEN_DECODE_CHUNK sampled tokens instead of every
+# token (see the two-level cache note in models/xl.py).
+GEN_DECODE_CHUNK = 32
+
+
+def gen_scan_chunked(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
+                     temperature, state: xl.DecodeState, prev_onehot,
+                     detach_flags, rng):
+    """``gen_scan`` on the two-level chunked decode cache (cache_kv layout).
+
+    Same sampling semantics and gradient flow as ``gen_scan`` — identical
+    per-step gumbel draws (same [1, bsz, V] key shapes), memory detached
+    per step (K/V staged with stop_gradient; the current token's
+    self-attention sees live projections) — but without the per-token
+    full-buffer memory shift that dominates the rolling path
+    (transformer_gan.py:299-334 is the reference hot loop #1).
+    Returns (samples [n, bsz, V], new state, last_onehot)."""
+    n_steps = detach_flags.shape[0]
+    rngs = jax.random.split(rng, n_steps)
+    bsz, V = prev_onehot.shape
+    C = min(GEN_DECODE_CHUNK, n_steps)
+
+    def run_chunk(state, prev, chunk_flags, chunk_rngs, n):
+        stage0 = xl.init_decode_stage(xcfg, C, bsz,
+                                      dtype=state.kv[0][1].dtype)
+
+        def body(carry, xs):
+            prev, stage = carry
+            t, detach, rng_t = xs
+            hard = jax.lax.stop_gradient(
+                jax.nn.one_hot(jnp.argmax(prev, -1), V, dtype=prev.dtype))
+            inp = jnp.where(detach, hard, prev)
+            logits, stage = xl.decode_chunk_step(
+                gen_params, xcfg, inp, state, stage, t,
+                same_length=False, detach_kv_writes=True)
+            onehot = xl.gumbel_softmax_st(logits[None], temperature,
+                                          rng_t)[0]
+            return (onehot, stage), onehot
+
+        xs = (jnp.arange(n, dtype=jnp.int32), chunk_flags, chunk_rngs)
+        (prev, stage), samples = jax.lax.scan(body, (prev, stage0), xs)
+        return prev, stage, samples
+
+    n_full, rem = divmod(n_steps, C)
+    pieces = []
+    prev = prev_onehot
+    if n_full:
+        def outer(carry, xs):
+            prev, state = carry
+            chunk_flags, chunk_rngs = xs
+            prev, stage, samples = run_chunk(state, prev, chunk_flags,
+                                             chunk_rngs, C)
+            state = xl.merge_decode_state(xcfg, state, stage, C)
+            return (prev, state), samples
+
+        (prev, state), samples = jax.lax.scan(
+            outer, (prev, state),
+            (detach_flags[:n_full * C].reshape(n_full, C),
+             rngs[:n_full * C].reshape(n_full, C, *rngs.shape[1:])))
+        pieces.append(samples.reshape(n_full * C, bsz, V))
+    if rem:
+        prev, stage, samples = run_chunk(
+            state, prev, detach_flags[n_full * C:], rngs[n_full * C:], rem)
+        state = xl.merge_decode_state(xcfg, state, stage, rem)
+        pieces.append(samples)
+    samples = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    return samples, state, prev
+
+
+def prime_context_state(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
+                        data) -> xl.DecodeState:
+    """``prime_context`` for the chunked path: no-grad context prime, then
+    the decode-state conversion. The positional rows are built from the
+    LIVE params so r_w gradients flow from every sampling step, matching
+    the rolling path (which re-projects pos_emb @ r_w each step)."""
+    mems = prime_context(gen_params, xcfg, gcfg, data)
+    return xl.decode_state_from_mems(gen_params, xcfg, mems)
+
+
 def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
                        data, temperature, rng):
     """Produce the per-chunk fake sequences for one GAN batch.
@@ -133,32 +213,46 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     data: [tgt_len, bsz] real ids. Returns a list of
     (fake_chunk [sample_len, bsz, V], real_chunk_ids [sample_len, bsz]),
     chunk boundaries detached (transformer_gan.py:299-347,506-508).
+
+    With ``cache_kv`` the sequential sampling runs on the two-level chunked
+    decode cache (gen_scan_chunked); the rolling gen_scan is the oracle
+    path (equivalence tested for samples, losses, and gradients).
     """
     bsz = data.shape[1]
     V = gcfg.n_token
-    mems = prime_context(gen_params, xcfg, gcfg, data)
     chunks = []
     rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
+    chunked = bool(xcfg.cache_kv)
+    if chunked:
+        mems = prime_context_state(gen_params, xcfg, gcfg, data)
+    else:
+        mems = prime_context(gen_params, xcfg, gcfg, data)
+
+    def scan(mems, seed, flags, rng_c):
+        if chunked:
+            return gen_scan_chunked(gen_params, xcfg, gcfg, temperature,
+                                    mems, seed, flags, rng_c)
+        return gen_scan(gen_params, xcfg, gcfg, temperature, mems, seed,
+                        flags, rng_c)
 
     # chunk 0: real context one-hots at the head, then generation
     ctx = gcfg.context_len
     real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
     n_gen0 = gcfg.sample_len - ctx
     flags0 = jnp.full((n_gen0,), bool(gcfg.truncate_backprop))
-    samples0, mems, last = gen_scan(
-        gen_params, xcfg, gcfg, temperature, mems,
-        real_ctx[-1], flags0, rngs[0])
+    samples0, mems, last = scan(mems, real_ctx[-1], flags0, rngs[0])
     fake0 = jnp.concatenate([real_ctx, samples0], axis=0)
     chunks.append((fake0, data[0:gcfg.sample_len]))
 
     for c in range(1, gcfg.sample_chunks_mem):
-        mems = jax.lax.stop_gradient(mems)
+        if not chunked:
+            # chunked-path K/V are already detached at write
+            mems = jax.lax.stop_gradient(mems)
         flags = jnp.concatenate([
             jnp.array([True]),
             jnp.full((gcfg.sample_len - 1,), bool(gcfg.truncate_backprop))])
-        samples, mems, last = gen_scan(
-            gen_params, xcfg, gcfg, temperature, mems,
-            jax.lax.stop_gradient(last), flags, rngs[c])
+        samples, mems, last = scan(mems, jax.lax.stop_gradient(last),
+                                   flags, rngs[c])
         start = c * gcfg.sample_len
         chunks.append((samples, data[start:start + gcfg.sample_len]))
     return chunks

@@ -564,14 +564,22 @@ def precompute_r_heads(params, cfg: XLConfig, R: int) -> jnp.ndarray:
 
 def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
                       stage: tuple, t, *,
-                      same_length: bool = True, status_vec=None):
+                      same_length: bool = True, status_vec=None,
+                      detach_kv_writes: bool = False):
     """One-token forward at inner-chunk step ``t`` (traced int32).
 
     inp: [bsz] int ids or [bsz, V] soft one-hots. ``state`` is the big
     read-only cache (as of chunk start), ``stage`` the chunk staging
     buffers. Returns (logits [bsz, V], new stage). Distance bookkeeping:
     big slot j is at distance M-j+t from the current token; staged slot s
-    at t-s."""
+    at t-s.
+
+    ``detach_kv_writes``: write stop_gradient'ed K/V into the carried
+    stage while this step's self-attention still sees the live
+    projections. That reproduces the rolling path's memory semantics under
+    ``jax.grad`` (the reference detaches mems unconditionally in
+    _update_mems, mem_transformer.py:461-482, i.e. AFTER the step's own
+    attention) — used by the differentiable GAN sampling scan."""
     b, M, hd = state.kv[0][1].shape
     C = stage[0][0].shape[1]
     h, dh = cfg.n_head, cfg.d_head
@@ -608,11 +616,20 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
         q, k, v = jnp.split(heads, 3, axis=-1)
 
         sk, svv = stage[i]
+        k_w = jax.lax.stop_gradient(k) if detach_kv_writes else k
+        v_w = jax.lax.stop_gradient(v) if detach_kv_writes else v
         sk = jax.lax.dynamic_update_slice(
-            sk, k[:, None, :].astype(sk.dtype), (zero, t, zero))
+            sk, k_w[:, None, :].astype(sk.dtype), (zero, t, zero))
         svv = jax.lax.dynamic_update_slice(
-            svv, v[:, None, :].astype(svv.dtype), (zero, t, zero))
+            svv, v_w[:, None, :].astype(svv.dtype), (zero, t, zero))
         new_stage.append((sk, svv))
+        if detach_kv_writes:
+            # self-slot live for THIS step's attention (gradient reaches the
+            # current token's K/V exactly once, as in the rolling path)
+            sk = jax.lax.dynamic_update_slice(
+                sk, k[:, None, :].astype(sk.dtype), (zero, t, zero))
+            svv = jax.lax.dynamic_update_slice(
+                svv, v[:, None, :].astype(svv.dtype), (zero, t, zero))
         kr, v_big = state.kv[i]
 
         # Content (AC) and position (BD) score terms from ONE batched
