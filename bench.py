@@ -69,8 +69,9 @@ def _analytic_step_flops(xcfg, bsz, tgt, mem) -> float:
         + 2 * d * di + 2 * di * d
     rnet_layer = 2 * d * (h * dh) * klen / tgt
     attn_layer = 2 * klen * (h * dh) * 3          # AC, BD, PV
-    fwd_per_tok = L * (per_tok_layer + rnet_layer + attn_layer) + 2 * d * V
-    return 3.0 * fwd_per_tok * bsz * tgt
+    fwd_per_tok = L * (per_tok_layer + attn_layer) + 2 * d * V
+    # r @ r_w has a constant input: bwd is ONE matmul (dW), so 2x not 3x
+    return (3.0 * fwd_per_tok + 2.0 * L * rnet_layer) * bsz * tgt
 
 
 def _compiled_step_flops(step_fn, args) -> float | None:
@@ -126,15 +127,13 @@ def bench_mle(on_tpu: bool) -> dict:
 
     batches = [make_batch() for _ in range(4)]
 
-    # flop count from the compiled program BEFORE donation invalidates
-    # buffers (the lowered copy does not donate anything we reuse)
+    # MFU basis: the analytic fwd+bwd model-FLOP count. XLA's own
+    # cost_analysis is also recorded, but it reports 0 flops for custom
+    # calls (the Pallas attention kernels), so it UNDERCOUNTS here.
+    step_flops = _analytic_step_flops(xcfg, bsz, tgt, mem)
     nondonating = tstep.make_mle_train_step(xcfg, optimizer, batch_chunk,
                                             pad_id=1, donate=False)
-    step_flops = _compiled_step_flops(nondonating, (state,) + batches[0])
-    flops_basis = "xla_cost_analysis"
-    if step_flops is None:
-        step_flops = _analytic_step_flops(xcfg, bsz, tgt, mem)
-        flops_basis = "analytic"
+    xla_flops = _compiled_step_flops(nondonating, (state,) + batches[0])
 
     for i in range(warmup):
         state, metrics = step_fn(state, *batches[i % len(batches)])
@@ -161,8 +160,11 @@ def bench_mle(on_tpu: bool) -> dict:
     peak = _peak_flops(jax.devices()[0])
     if peak and on_tpu:
         out["mfu"] = round(step_flops * (iters / elapsed) / peak, 4)
-        out["mfu_flops_basis"] = flops_basis
+        out["mfu_flops_basis"] = "analytic fwd+bwd model flops"
         out["step_flops"] = step_flops
+        if xla_flops:
+            # excludes Pallas custom-call flops; recorded as a cross-check
+            out["xla_counted_flops"] = xla_flops
     return out
 
 
@@ -224,17 +226,19 @@ def bench_gan(on_tpu: bool) -> dict:
 
     def make_phase(loss_fn, opt):
         grad = jax.grad(loss_fn, has_aux=True)
+        key = "dis_loss" if loss_fn is dis_loss_fn else "gen_loss"
 
         def phase(params, other, opt_state, data_c, rng):
             rngs = jax.random.split(rng, bc)
 
+            # micro-chunks scanned sequentially (the production default;
+            # vmap'ing them OOMs the gen backward at this op-point)
             def body(carry, xs):
                 acc, lsum = carry
                 d, r = xs
                 g, losses = grad(params, other, d, r)
-                acc = jax.tree.map(jnp.add, acc, g)
-                key = "dis_loss" if loss_fn is dis_loss_fn else "gen_loss"
-                return (acc, lsum + losses[key]), None
+                return (jax.tree.map(jnp.add, acc, g),
+                        lsum + losses[key]), None
 
             zero = jax.tree.map(jnp.zeros_like, params)
             (g, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())),

@@ -256,29 +256,36 @@ def test_temperature_schedules_match_reference():
 # Chunked (two-level decode cache) GAN sampling vs the rolling oracle
 # ---------------------------------------------------------------------------
 
-def _chunked_setup(tgt_len, sample_chunks_mem, context_len=3):
+def _chunked_setup(tgt_len, sample_chunks_mem, context_len=3,
+                   decode_cache="chunked"):
     base = dict(n_layer=2, n_head=2, d_model=16, d_inner=32,
                 dropout=0.0, dropatt=0.0, n_token=310)
     xcfg_roll = xl.XLConfig(cache_kv=False, **base)
     xcfg_chunk = xl.XLConfig(cache_kv=True, **base)
     gen_params = xl.init_xl_params(xcfg_roll, seed=0)
+    # decode_cache="chunked" forces the two-level cache under cache_kv
+    # (mem_len here is far below the auto threshold); the cache_kv=False
+    # runs fall back to the rolling oracle regardless.
     gcfg = gan_mod.GanConfig(dis_type="cnn", loss_type="rsgan",
                              tgt_len=tgt_len, mem_len=tgt_len,
                              context_len=context_len,
                              sample_chunks_mem=sample_chunks_mem,
-                             n_token=310)
+                             n_token=310, decode_cache=decode_cache)
     rcfg = disc_mod.RelganConfig(embed_dim=16, num_rep=4, vocab_size=310)
     dis_params = disc_mod.init_relgan_params(rcfg, seed=1)
     return xcfg_roll, xcfg_chunk, gen_params, gcfg, rcfg, dis_params
 
 
-@pytest.mark.parametrize("tgt_len,chunks", [(12, 2), (70, 1)])
-def test_chunked_gan_sampling_matches_rolling(tgt_len, chunks):
-    """sample_fake_chunks on the chunked decode cache draws the SAME
-    tokens as the rolling path (identical per-step gumbel key shapes);
-    tgt_len=70 exercises the inner-chunk merge (C=32: 2 full + rem 5)."""
+@pytest.mark.parametrize("tgt_len,chunks,cache", [
+    (12, 2, "chunked"), (70, 1, "chunked"), (12, 2, "rolling")])
+def test_chunked_gan_sampling_matches_rolling(tgt_len, chunks, cache):
+    """sample_fake_chunks under cache_kv draws the SAME tokens as the
+    raw-hiddens oracle — for the chunked decode cache (identical per-step
+    gumbel key shapes; tgt_len=70 exercises the inner-chunk merge, C=32:
+    2 full + rem 5) AND for the rolling cache_kv path with hoisted
+    positional projections."""
     (xcfg_roll, xcfg_chunk, gen_params, gcfg, _,
-     _) = _chunked_setup(tgt_len, chunks)
+     _) = _chunked_setup(tgt_len, chunks, decode_cache=cache)
     rng = np.random.RandomState(0)
     data = jnp.asarray(rng.randint(2, 310, (tgt_len, 3)))
     key = jax.random.PRNGKey(7)
@@ -295,16 +302,20 @@ def test_chunked_gan_sampling_matches_rolling(tgt_len, chunks):
                                    rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("tgt_len,chunks", [(12, 2), (70, 1)])
-def test_chunked_gan_gen_gradients_match_rolling(tgt_len, chunks):
+@pytest.mark.parametrize("tgt_len,chunks,bsz,cache",
+                         [(12, 2, 3, "chunked"), (70, 1, 3, "chunked"),
+                          (12, 2, 8, "chunked"), (12, 2, 3, "rolling")])
+def test_chunked_gan_gen_gradients_match_rolling(tgt_len, chunks, bsz,
+                                                 cache):
     """gen-phase loss AND all generator gradients agree between the
-    chunked decode path and the rolling oracle (same detach semantics:
-    K/V memory detached per step, live self-attention, r_w gradient from
-    every step, chunk-boundary input detach)."""
+    cache_kv sampling paths (chunked decode cache / rolling with hoisted
+    positional projections) and the raw-hiddens oracle (same detach
+    semantics: K/V memory detached per step, live self-attention, r_w
+    gradient from every step, chunk-boundary input detach)."""
     (xcfg_roll, xcfg_chunk, gen_params, gcfg, rcfg,
-     dis_params) = _chunked_setup(tgt_len, chunks)
+     dis_params) = _chunked_setup(tgt_len, chunks, decode_cache=cache)
     rng = np.random.RandomState(1)
-    data = jnp.asarray(rng.randint(2, 310, (tgt_len, 3)))
+    data = jnp.asarray(rng.randint(2, 310, (tgt_len, bsz)))
     key = jax.random.PRNGKey(3)
 
     def loss_fn(gp, xcfg):

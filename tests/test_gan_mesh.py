@@ -144,3 +144,34 @@ def test_gan_mesh_matches_single_device(data_dir):
                        jax.tree.leaves(gen0)):
         np.testing.assert_allclose((a - z) * 8.0, b - z,
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_gan_parallel_chunks_matches_scan(data_dir):
+    """TPU.gan_parallel_chunks (vmap'ed micro-chunks, one wide sampling
+    scan) produces the same dis/gen updates as the sequential lax.scan
+    over chunks: chunks are independent and per-chunk RNG keys identical,
+    so only the gradient reduction order differs."""
+    import jax
+    from transformer_gan_tpu.parallel import mesh as pmesh
+    from transformer_gan_tpu.train.loop import Trainer
+
+    def run(parallel):
+        cfg = _tiny_gan_cfg()
+        cfg.defrost()
+        cfg.TPU.gan_parallel_chunks = parallel
+        cfg.freeze()
+        mesh = pmesh.make_mesh(1)
+        with tempfile.TemporaryDirectory() as wd:
+            trainer = Trainer(cfg, data_dir=data_dir, work_dir=wd,
+                              debug=True, mesh=mesh)
+            trainer.gan.dis_phase(1)
+            trainer.gan.gen_phase(1)
+            return (jax.tree.map(np.asarray, trainer.gan.dis_params),
+                    jax.tree.map(np.asarray, trainer.state.params))
+
+    dis_v, gen_v = run(True)
+    dis_s, gen_s = run(False)
+    for a, b in zip(jax.tree.leaves(dis_v), jax.tree.leaves(dis_s)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(gen_v), jax.tree.leaves(gen_s)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)

@@ -170,13 +170,16 @@ def test_chunked_decode_after_priming():
             t = 0
 
 
-def test_chunked_decode_batched_lanes():
+@pytest.mark.parametrize("bsz", [3, 8])  # fused K‖R vs per-head scores
+def test_chunked_decode_batched_lanes(bsz):
     """Chunked decode with bsz>1 must equal per-lane forward_generate:
-    lanes are independent sequences sharing one compiled program."""
+    lanes are independent sequences sharing one compiled program.
+    bsz=3 uses the fused K‖R score matmul, bsz=8 the per-head einsums
+    (xl.FUSED_SCORE_MAX_BSZ)."""
     xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
                        dropout=0.0, dropatt=0.0, cache_kv=True)
     params = xl.init_xl_params(xcfg, seed=11)
-    mem_len, bsz, C, T = 6, 3, 4, 10
+    mem_len, C, T = 6, 4, 10
     rng = np.random.RandomState(7)
     toks = rng.randint(0, xcfg.n_token, (T, bsz)).astype(np.int32)
 
@@ -210,7 +213,8 @@ def test_gumbel_generation_chunked_matches_rolling():
                           dropout=0.0, dropatt=0.0, cache_kv=True)
     xcfg_roll = dataclasses.replace(xcfg_kv, cache_kv=False)
     params = xl.init_xl_params(xcfg_kv, seed=4)
-    seq_len, bsz = 11, 2  # not a multiple of the chunk; exercises rem
+    seq_len, bsz = 11, 8  # not a multiple of the chunk; exercises rem
+    # bsz 8 > FUSED_SCORE_MAX_BSZ: exercises the per-head score layout
     rng = jax.random.PRNGKey(42)
     first = jnp.zeros((bsz,), jnp.int32)
 

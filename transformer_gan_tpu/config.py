@@ -299,6 +299,15 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     cfg.TPU.mesh_shape = [-1]           # data-parallel axis; -1 = all devices
     cfg.TPU.mesh_axes = ["data"]
     cfg.TPU.remat = False               # jax.checkpoint over decoder layers
+    # GAN phases: vmap the micro-chunks (one sampling scan at full batch
+    # width) instead of lax.scan-ing them sequentially. Numerically
+    # identical (chunks are independent; per-chunk RNG keys unchanged) but
+    # costs batch_chunk x the activation memory. Measured on v5e at the
+    # spanbert op-point: the gen phase's backward-through-scan then needs
+    # ~62 GB HBM (OOM) and the dis phase gets SLOWER (1316 vs 821 ms), so
+    # the default stays off. Ignored (scan kept) for PPO, whose P0
+    # snapshot chains across chunks.
+    cfg.TPU.gan_parallel_chunks = False
     cfg.TPU.donate = True
     cfg.TPU.profile_dir = ""            # jax.profiler trace dir ("" = off)
     return cfg

@@ -140,7 +140,12 @@ def rel_attention_kv(w: jnp.ndarray,
     k = jnp.concatenate([k_mem, k_cur], axis=2)   # [b, h, klen, d]
     v = jnp.concatenate([v_mem, v_cur], axis=2)
 
-    r_head_k = (r @ r_w).reshape(klen, n_head, d_head)
+    if r.ndim == 3:
+        # pre-projected positional heads [klen, n_head, d_head] (constant
+        # for fixed klen — decode scans hoist the r @ r_w projection)
+        r_head_k = r
+    else:
+        r_head_k = (r @ r_w).reshape(klen, n_head, d_head)
 
     rw_q = q + r_w_bias.astype(q.dtype)[None, :, None, :]
     AC = rw_q @ k.transpose(0, 1, 3, 2)           # [b, h, qlen, klen]

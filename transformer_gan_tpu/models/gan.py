@@ -41,6 +41,11 @@ class GanConfig:
 
     dis_type: str = "cnn"            # "bert" | "cnn"
     loss_type: str = "rsgan"
+    # sampling memory implementation: "auto" picks the two-level chunked
+    # decode cache when mem_len is large enough that the rolling path's
+    # per-token full-buffer shift dominates; "chunked"/"rolling" force it
+    # (chunked needs cache_kv; falls back to rolling without it)
+    decode_cache: str = "auto"
     tgt_len: int = 64
     mem_len: int = 64
     context_len: int = 5
@@ -79,6 +84,7 @@ class GanConfig:
             ppo_dis_type=cfg.PPO.dis_D_type,
             clip_param=cfg.PPO.clip_param,
             n_token=n_token,
+            decode_cache=str(getattr(cfg.TPU, "gan_decode_cache", "auto")),
         )
 
 
@@ -108,6 +114,11 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
     Returns (samples [n, bsz, V], mems, last_onehot)."""
     n_steps = detach_flags.shape[0]
     rngs = jax.random.split(rng, n_steps)
+    # hoist the per-layer positional projections (r @ r_w over klen =
+    # mem_len+1 rows) out of the scan: constant across steps, and the
+    # gradient to r_w through the single hoisted projection is identical
+    r_heads = (xl.precompute_r_heads(gen_params, xcfg, gcfg.mem_len + 1)
+               if xcfg.cache_kv else None)
 
     def body(carry, xs):
         prev, mems = carry
@@ -118,7 +129,7 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
         inp = jnp.where(detach, hard, prev)
         onehot, mems = xl.forward_generate_gumbel(
             gen_params, xcfg, inp[None], temperature, mems, rng_t,
-            detach_mems=True)
+            detach_mems=True, r_heads=r_heads)
         return (onehot[0], mems), onehot[0]
 
     (last, mems), samples = jax.lax.scan(
@@ -130,6 +141,13 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
 # cache is copied once per GEN_DECODE_CHUNK sampled tokens instead of every
 # token (see the two-level cache note in models/xl.py).
 GEN_DECODE_CHUNK = 32
+
+# "auto" decode_cache threshold: below this mem_len the rolling path's
+# per-token K/V shift is cheaper than the chunked path's per-step
+# bookkeeping (measured on v5e at the spanbert op-point, mem 128 b 32:
+# rolling ~0.8s vs chunked ~1.3s per gen step; at mem 4146 single-stream
+# the chunked path is 4.5x FASTER — the crossover is in between).
+GEN_CHUNKED_MIN_MEM = 512
 
 
 def gen_scan_chunked(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
@@ -222,7 +240,9 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     V = gcfg.n_token
     chunks = []
     rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
-    chunked = bool(xcfg.cache_kv)
+    chunked = bool(xcfg.cache_kv) and gcfg.decode_cache != "rolling" and (
+        gcfg.decode_cache == "chunked"
+        or gcfg.mem_len >= GEN_CHUNKED_MIN_MEM)
     if chunked:
         mems = prime_context_state(gen_params, xcfg, gcfg, data)
     else:

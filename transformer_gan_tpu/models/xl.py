@@ -338,14 +338,25 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
 def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
                reset_mems=None, status_vec=None, *, same_length: bool = False,
                train: bool = False, rng=None, detach_mems: bool = True,
-               remat: bool = False, pos_emb=None):
+               remat: bool = False, pos_emb=None, r_heads=None):
     """Run the decoder stack. Returns (core_out [q,b,d], new_mems).
 
     Mirrors reference ``_forward`` + ``_update_mems``
     (mem_transformer.py:484-576,445-482) over the static memory buffer.
+
+    ``r_heads`` [n_layer, klen, n_head, d_head]: pre-projected positional
+    heads (precompute_r_heads), hoisting the per-layer r @ r_w projection
+    out of decode scans. cache_kv eval/decode paths only (the Pallas
+    kernels and the raw-hiddens path project internally); gradients to
+    r_w flow through the hoisted projection — identical math.
     """
     qlen, bsz = inp.shape[0], inp.shape[1]
     mem_len = mems.hids.shape[4] if cfg.cache_kv else mems.hids.shape[1]
+    if r_heads is not None:
+        assert cfg.cache_kv and not train, \
+            "r_heads hoisting is for cache_kv decode paths"
+        assert not (cfg.use_pallas and qlen >= 8), \
+            "fused-kernel path projects positions internally"
 
     if train:
         rng, r_emb, r_pos = jax.random.split(rng, 3)
@@ -357,7 +368,7 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     word_emb = embed_input(params, cfg, inp, status_vec)
     attn_mask = build_attn_mask(qlen, mem_len, mems.count, reset_mems,
                                 same_length, bsz)
-    if pos_emb is None:
+    if pos_emb is None and r_heads is None:
         # constant for fixed (qlen, mem_len); decoding scans hoist it
         pos_emb = positional_embedding(cfg, mem_len + qlen).astype(
             cfg.cdtype)
@@ -378,8 +389,9 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
             decoder_layer, static_argnums=(1, 9, 12), policy=None)
     for i in range(cfg.n_layer):
         mems_i = mems.hids[i].astype(cfg.cdtype)
+        pos_i = pos_emb if r_heads is None else r_heads[i]
         core_out, kv_cur = layer_fn(
-            params["layers"][i], cfg, core_out, mems_i, pos_emb,
+            params["layers"][i], cfg, core_out, mems_i, pos_i,
             r_w_bias, r_r_bias, attn_mask, rngs[i], train,
             mems.count, reset_mems, same_length)
         hids.append(core_out)
@@ -447,9 +459,23 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
 # logit equality through growth, chunk boundaries, and merges).
 
 
-class DecodeState(NamedTuple):
-    """Big (chunk-level) decode K/V cache.
+# Batch-size threshold between the two decode score formulations:
+#   bsz <= this: ONE fused matmul over the K‖R buffer computes AC and BD
+#     together via a block-diagonal query matrix. The matmul does h x more
+#     FLOPs than needed, but single/few-stream decoding is op-issue-latency
+#     bound (~15us per serialized op), so halving the op count wins
+#     (measured 2.7x single-stream).
+#   bsz > this: per-head einsums (no FLOP inflation). Batched lanes (GAN
+#     sampling at bsz 32+, multi-lane generation) are compute-bound, where
+#     the block-diagonal trick's h x FLOP waste dominates.
+FUSED_SCORE_MAX_BSZ = 4
 
+
+class DecodeState(NamedTuple):
+    """Big (chunk-level) decode K/V cache. Two layouts (see
+    FUSED_SCORE_MAX_BSZ); the kr row count tells them apart.
+
+    FUSED (kr rows = 2*mem_len+1):
     kv:    tuple over layers of (kr, v):
            kr [bsz, mem_len + mem_len+1, n_head*d_head] — rows 0..M-1 the
               keys (tail-aligned like XLMems, slot M-1 = most recent), rows
@@ -457,14 +483,20 @@ class DecodeState(NamedTuple):
               distance M-j). Keys and positional rows share one buffer so
               the content (AC) and position (BD) score terms come out of a
               SINGLE batched matmul — one HBM pass + one op-issue latency
-              instead of two (each serialized big op costs ~15us of fixed
-              latency on top of its streaming time).
+              instead of two.
            v  [bsz, mem_len, n_head*d_head].
+
+    PER-HEAD (kr rows = mem_len):
+    kv:    tuple over layers of (k [bsz, mem_len, n_head*d_head], v same);
+    r_heads: [n_layer, mem_len+1, n_head, d_head] positional projections
+           (constant, shared across lanes — not tiled per batch row).
+
     count: int32 — number of valid tail slots (capped at mem_len).
     """
 
     kv: tuple
     count: jnp.ndarray
+    r_heads: Any = None
 
 
 def _r_rows(params, cfg: XLConfig, mem_len: int, bsz: int, dtype):
@@ -477,37 +509,56 @@ def _r_rows(params, cfg: XLConfig, mem_len: int, bsz: int, dtype):
         (bsz, mem_len + 1, hd)) for i in range(cfg.n_layer)]
 
 
+def _use_fused_rows(bsz: int, fused_rows) -> bool:
+    if fused_rows is None:
+        return bsz <= FUSED_SCORE_MAX_BSZ
+    return bool(fused_rows)
+
+
 def init_decode_state(params, cfg: XLConfig, mem_len: int, bsz: int,
-                      dtype=None) -> DecodeState:
+                      dtype=None, fused_rows=None) -> DecodeState:
     dtype = dtype or cfg.cdtype
     hd = cfg.n_head * cfg.d_head
-    rr = _r_rows(params, cfg, mem_len, bsz, dtype)
+    if _use_fused_rows(bsz, fused_rows):
+        rr = _r_rows(params, cfg, mem_len, bsz, dtype)
+        kv = tuple(
+            (jnp.concatenate(
+                [jnp.zeros((bsz, mem_len, hd), dtype=dtype), rr[i]],
+                axis=1),
+             jnp.zeros((bsz, mem_len, hd), dtype=dtype))
+            for i in range(cfg.n_layer))
+        return DecodeState(kv=kv, count=jnp.zeros((), jnp.int32))
     kv = tuple(
-        (jnp.concatenate(
-            [jnp.zeros((bsz, mem_len, hd), dtype=dtype), rr[i]], axis=1),
+        (jnp.zeros((bsz, mem_len, hd), dtype=dtype),
          jnp.zeros((bsz, mem_len, hd), dtype=dtype))
-        for i in range(cfg.n_layer))
-    return DecodeState(kv=kv, count=jnp.zeros((), jnp.int32))
+        for _ in range(cfg.n_layer))
+    return DecodeState(kv=kv, count=jnp.zeros((), jnp.int32),
+                       r_heads=precompute_r_heads(params, cfg, mem_len + 1))
 
 
-def decode_state_from_mems(params, cfg: XLConfig, mems: XLMems
-                           ) -> DecodeState:
-    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense K‖R + V."""
+def decode_state_from_mems(params, cfg: XLConfig, mems: XLMems,
+                           fused_rows=None) -> DecodeState:
+    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense K(+R) + V."""
     if not cfg.cache_kv:
         raise ValueError("chunked decode requires cache_kv memory layout")
     b = mems.hids.shape[2]
     M = mems.hids.shape[4]
     hd = cfg.n_head * cfg.d_head
-    rr = _r_rows(params, cfg, M, b, mems.hids.dtype)
 
     def dense(x):  # [b, h, M, dh] -> [b, M, h*dh]
         return x.transpose(0, 2, 1, 3).reshape(b, M, hd)
 
-    kv = tuple(
-        (jnp.concatenate([dense(mems.hids[i, 0]), rr[i]], axis=1),
-         dense(mems.hids[i, 1]))
-        for i in range(cfg.n_layer))
-    return DecodeState(kv=kv, count=mems.count.astype(jnp.int32))
+    if _use_fused_rows(b, fused_rows):
+        rr = _r_rows(params, cfg, M, b, mems.hids.dtype)
+        kv = tuple(
+            (jnp.concatenate([dense(mems.hids[i, 0]), rr[i]], axis=1),
+             dense(mems.hids[i, 1]))
+            for i in range(cfg.n_layer))
+        return DecodeState(kv=kv, count=mems.count.astype(jnp.int32))
+    kv = tuple((dense(mems.hids[i, 0]), dense(mems.hids[i, 1]))
+               for i in range(cfg.n_layer))
+    return DecodeState(kv=kv, count=mems.count.astype(jnp.int32),
+                       r_heads=precompute_r_heads(params, cfg, M + 1))
 
 
 def mems_from_decode_state(cfg: XLConfig, state: DecodeState) -> XLMems:
@@ -544,7 +595,8 @@ def merge_decode_state(cfg: XLConfig, state: DecodeState, stage: tuple,
         (jnp.concatenate([kr[:, n:M], sk[:, :n], kr[:, M:]], axis=1),
          jnp.concatenate([v[:, n:], sv[:, :n]], axis=1))
         for (kr, v), (sk, sv) in zip(state.kv, stage))
-    return DecodeState(kv=kv, count=jnp.minimum(state.count + n, M))
+    return DecodeState(kv=kv, count=jnp.minimum(state.count + n, M),
+                       r_heads=state.r_heads)
 
 
 def precompute_r_heads(params, cfg: XLConfig, R: int) -> jnp.ndarray:
@@ -631,25 +683,34 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
             svv = jax.lax.dynamic_update_slice(
                 svv, v[:, None, :].astype(svv.dtype), (zero, t, zero))
         kr, v_big = state.kv[i]
-
-        # Content (AC) and position (BD) score terms from ONE batched
-        # matmul over the fused K‖R buffer: the per-head structure is a
-        # block-diagonal query matrix [hd, 2h] (rows of head h' hit output
-        # column h' only), so the MXU computes q·k and q_rr·r in a single
-        # HBM pass — per-op issue latency (~15us) dominates these
-        # memory-bound matvecs, so halving the op count beats any
-        # elementwise fusion. Scores stay in [b, h, klen] — klen minor —
-        # because [.., klen, h=10] pads 10 lanes to 128 (13x fp32 softmax
-        # traffic).
         qw = q.reshape(b, h, dh) + r_w_bias
         qr = q.reshape(b, h, dh) + r_r_bias
-        W2 = jnp.concatenate(
-            [(qw[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h),
-             (qr[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h)],
-            axis=-1)                                            # [b, hd, 2h]
-        S = jnp.einsum("bmk,bkh->bmh", kr.astype(cfg.cdtype), W2)
-        AC_big = S[:, :M, :h].transpose(0, 2, 1)                # [b, h, M]
-        BD_rev = S[:, M:, h:].transpose(0, 2, 1)                # [b, h, M+1]
+        if kr.shape[1] == 2 * M + 1:
+            # FUSED layout: content (AC) and position (BD) score terms from
+            # ONE batched matmul over the K‖R buffer via a block-diagonal
+            # query matrix [hd, 2h] (rows of head h' hit output column h'
+            # only). The matmul does h x more FLOPs than needed, but
+            # single/few-stream decoding is op-issue-latency bound (~15us
+            # per serialized op), so halving the op count wins. Scores stay
+            # in [b, h, klen] — klen minor — because [.., klen, h=10] pads
+            # 10 lanes to 128 (13x fp32 softmax traffic).
+            W2 = jnp.concatenate(
+                [(qw[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h),
+                 (qr[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h)],
+                axis=-1)                                        # [b, hd, 2h]
+            S = jnp.einsum("bmk,bkh->bmh", kr.astype(cfg.cdtype), W2)
+            AC_big = S[:, :M, :h].transpose(0, 2, 1)            # [b, h, M]
+            BD_rev = S[:, M:, h:].transpose(0, 2, 1)            # [b, h, M+1]
+        else:
+            # PER-HEAD layout (batched lanes): standard multi-head scores,
+            # no FLOP inflation; the positional term comes from the shared
+            # (non-tiled) r_heads constant.
+            AC_big = jnp.einsum(
+                "bmhd,bhd->bhm",
+                kr.reshape(b, M, h, dh).astype(cfg.cdtype), qw)
+            BD_rev = jnp.einsum(
+                "jhd,bhd->bhj",
+                state.r_heads[i].astype(cfg.cdtype), qr)        # [b, h, M+1]
 
         AC_st = (sk.astype(cfg.cdtype)
                  * qw.reshape(b, hd)[:, None, :]).reshape(
@@ -751,7 +812,7 @@ def gumbel_softmax_st(logits, temperature, rng, eps: float = 1e-20):
 
 def forward_generate_gumbel(params, cfg: XLConfig, data, temperature, mems,
                             rng, status_vec=None, *, same_length=False,
-                            detach_mems=True):
+                            detach_mems=True, r_heads=None):
     """Gumbel-ST sampling head (reference forward_generate_gumbel,
     mem_transformer.py:602-651).
 
@@ -763,7 +824,8 @@ def forward_generate_gumbel(params, cfg: XLConfig, data, temperature, mems,
     true backprop-through-memory as an opt-in improvement."""
     hidden, new_mems = xl_forward(
         params, cfg, data, mems, None, status_vec,
-        same_length=same_length, train=False, detach_mems=detach_mems)
+        same_length=same_length, train=False, detach_mems=detach_mems,
+        r_heads=r_heads)
     logits = compute_logits(params, cfg, hidden)
     onehot = gumbel_softmax_st(logits, temperature, rng)
     return onehot, new_mems

@@ -243,6 +243,9 @@ class GanPhases:
         dis_cfg, disD_cfg = self.dis_cfg, self.disD_cfg
         bc = gcfg.batch_chunk
         scale = 1.0 / (gcfg.batch_chunk * gcfg.sample_chunks_mem)
+        # vmap micro-chunks (one wide sampling scan) unless PPO chains P0
+        par = bool(getattr(cfg.TPU, "gan_parallel_chunks", True))
+        par_gen = par and not gcfg.ppo
 
         def chunk_data(data):
             # [tgt, bsz] -> [bc, tgt, bsz/bc]
@@ -265,19 +268,28 @@ class GanPhases:
                      rng):
             rngs = jax.random.split(rng, bc)
 
-            def body(carry, xs):
-                grads_acc, dsum, gsum = carry
-                d, rng_c = xs
-                grads, losses = dis_grad(dis_params, gen_params, d, temp,
-                                         rng_c)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc,
-                        dsum + losses["dis_loss"],
-                        gsum + losses["gp_loss"]), None
+            if par:
+                grads_c, losses_c = jax.vmap(
+                    dis_grad, in_axes=(None, None, 0, None, 0))(
+                        dis_params, gen_params, data_c, temp, rngs)
+                grads = jax.tree.map(lambda g: g.sum(0), grads_c)
+                dsum = losses_c["dis_loss"].sum()
+                gsum = losses_c["gp_loss"].sum()
+            else:
+                def body(carry, xs):
+                    grads_acc, dsum, gsum = carry
+                    d, rng_c = xs
+                    grads, losses = dis_grad(dis_params, gen_params, d,
+                                             temp, rng_c)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc,
+                            dsum + losses["dis_loss"],
+                            gsum + losses["gp_loss"]), None
 
-            zero = jax.tree.map(jnp.zeros_like, dis_params)
-            (grads, dsum, gsum), _ = jax.lax.scan(
-                body, (zero, jnp.zeros(()), jnp.zeros(())), (data_c, rngs))
+                zero = jax.tree.map(jnp.zeros_like, dis_params)
+                (grads, dsum, gsum), _ = jax.lax.scan(
+                    body, (zero, jnp.zeros(()), jnp.zeros(())),
+                    (data_c, rngs))
             updates, new_opt = self.dis_optimizer.update(
                 grads, dis_opt_state, dis_params)
             new_params = optax.apply_updates(dis_params, updates)
@@ -305,19 +317,29 @@ class GanPhases:
                          data_c, temp, rng, P0):
                 rngs = jax.random.split(rng, bc)
 
-                def body(carry, xs):
-                    grads_acc, gsum, P0c = carry
-                    d, rng_c = xs
-                    grads, (losses, newP0) = gen_grad(
-                        gen_params, dis_params, disD_params, d, temp,
-                        rng_c, P0c)
-                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                    return (grads_acc, gsum + losses["gen_loss"],
-                            newP0), None
+                if par_gen:
+                    grads_c, (losses_c, _) = jax.vmap(
+                        gen_grad,
+                        in_axes=(None, None, None, 0, None, 0, None))(
+                            gen_params, dis_params, disD_params, data_c,
+                            temp, rngs, P0)
+                    grads = jax.tree.map(lambda g: g.sum(0), grads_c)
+                    gsum = losses_c["gen_loss"].sum()
+                    newP0 = P0
+                else:
+                    def body(carry, xs):
+                        grads_acc, gsum, P0c = carry
+                        d, rng_c = xs
+                        grads, (losses, newP0) = gen_grad(
+                            gen_params, dis_params, disD_params, d, temp,
+                            rng_c, P0c)
+                        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                        return (grads_acc, gsum + losses["gen_loss"],
+                                newP0), None
 
-                zero = jax.tree.map(jnp.zeros_like, gen_params)
-                (grads, gsum, newP0), _ = jax.lax.scan(
-                    body, (zero, jnp.zeros(()), P0), (data_c, rngs))
+                    zero = jax.tree.map(jnp.zeros_like, gen_params)
+                    (grads, gsum, newP0), _ = jax.lax.scan(
+                        body, (zero, jnp.zeros(()), P0), (data_c, rngs))
                 updates, new_opt = self.gen_optimizer.update(
                     grads, gen_opt_state, gen_params)
                 new_params = optax.apply_updates(gen_params, updates)
