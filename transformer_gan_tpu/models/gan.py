@@ -41,10 +41,11 @@ class GanConfig:
 
     dis_type: str = "cnn"            # "bert" | "cnn"
     loss_type: str = "rsgan"
-    # sampling memory implementation: "auto" picks the two-level chunked
-    # decode cache when mem_len is large enough that the rolling path's
-    # per-token full-buffer shift dominates; "chunked"/"rolling" force it
-    # (chunked needs cache_kv; falls back to rolling without it)
+    # sampling memory implementation: "auto"/"chunked" use the two-level
+    # chunked decode cache under cache_kv (the production path — the
+    # rolling scan's backward OOMs at real op-points, see the note above
+    # sample_fake_chunks); "rolling" forces the small-shape oracle path
+    # (always used when cache_kv is off)
     decode_cache: str = "auto"
     tgt_len: int = 64
     mem_len: int = 64
@@ -142,12 +143,17 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
 # token (see the two-level cache note in models/xl.py).
 GEN_DECODE_CHUNK = 32
 
-# "auto" decode_cache threshold: below this mem_len the rolling path's
-# per-token K/V shift is cheaper than the chunked path's per-step
-# bookkeeping (measured on v5e at the spanbert op-point, mem 128 b 32:
-# rolling ~0.8s vs chunked ~1.3s per gen step; at mem 4146 single-stream
-# the chunked path is 4.5x FASTER — the crossover is in between).
-GEN_CHUNKED_MIN_MEM = 512
+# decode_cache="auto" resolves to the chunked path whenever cache_kv.
+# The rolling path looks cheaper per step in isolation (one fused
+# xl_forward), but its backward through the sampling scan must save the
+# FULL K/V mems carry per step — ~49MB x 123 steps x batch_chunk at the
+# spanbert op-point, a deterministic HBM OOM on v5e (15.77G needed of
+# 15.75G).  The chunked cache's residuals are compact by construction
+# (big buffer read-only within a 32-token chunk; only the staging buffer
+# is a per-token carry), and its measured gen step (1.32s, b=32 mem 128)
+# is within 4% of the fused-layout variant — both op-issue-latency
+# bound, not FLOP bound.  "rolling" stays available as the small-shape
+# debug/oracle option (equivalence-tested on CPU).
 
 
 def gen_scan_chunked(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
@@ -240,9 +246,7 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     V = gcfg.n_token
     chunks = []
     rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
-    chunked = bool(xcfg.cache_kv) and gcfg.decode_cache != "rolling" and (
-        gcfg.decode_cache == "chunked"
-        or gcfg.mem_len >= GEN_CHUNKED_MIN_MEM)
+    chunked = bool(xcfg.cache_kv) and gcfg.decode_cache != "rolling"
     if chunked:
         mems = prime_context_state(gen_params, xcfg, gcfg, data)
     else:

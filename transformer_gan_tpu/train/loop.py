@@ -320,9 +320,11 @@ class Trainer:
         log_interval = cfg.TRAIN.log_interval
         eval_interval = cfg.TRAIN.eval_interval
 
-        log_loss_w = 0.0
-        log_tokens = 0
-        log_grad_norm = 0.0
+        # Per-step scalar metrics accumulate ON DEVICE and are fetched
+        # once per log interval: a host fetch per step (float()) would
+        # force a ~33ms dispatch+fetch round trip on the tunnel-backed
+        # TPU runtime and serialize the step dispatches.
+        log_acc = None
         log_start = time.time()
 
         train_stream = self.train_iter()
@@ -374,11 +376,17 @@ class Trainer:
                 jax.profiler.stop_trace()
                 logging.info("profiler trace saved -> %s", profile_dir)
                 profile_dir = ""
-            log_loss_w += float(metrics["loss_weighted"])
-            log_tokens += int(metrics["tokens"])
-            log_grad_norm += float(metrics["grad_norm"])
+            keep = {k: metrics[k] for k in
+                    ("loss_weighted", "tokens", "grad_norm")}
+            log_acc = keep if log_acc is None else jax.tree.map(
+                jnp.add, log_acc, keep)
 
             if self.train_step_num % log_interval == 0:
+                fetched = jax.device_get(log_acc)
+                log_acc = None
+                log_loss_w = float(fetched["loss_weighted"])
+                log_tokens = int(fetched["tokens"])
+                log_grad_norm = float(fetched["grad_norm"])
                 reduced = pmesh.host_allreduce_sum(np.asarray(
                     [log_loss_w, log_tokens, log_grad_norm], np.float64))
                 r_loss, r_tokens, r_gnorm = reduced
@@ -398,7 +406,6 @@ class Trainer:
                         math.exp(min(nll, 50.0)),
                         r_gnorm / (log_interval * max(1, self.n_devices)),
                         gan_stats[0], gan_stats[1])
-                log_loss_w, log_tokens, log_grad_norm = 0.0, 0, 0.0
                 log_start = time.time()
 
             if self.train_step_num % eval_interval == 0:
