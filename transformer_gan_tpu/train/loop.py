@@ -226,8 +226,11 @@ class Trainer:
         batch axis of every eval window (and of the XL memory) is sharded
         so eval parallelizes over devices instead of serializing on one."""
         cfg = self.cfg
-        total_token_num = 0
-        total_nll = 0.0
+        # accumulate on device, fetch once after the loop (a per-batch
+        # float() costs a full dispatch+fetch round trip on the
+        # tunnel-backed TPU runtime and serializes batch dispatch)
+        total_token_num = jnp.zeros((), jnp.int32)
+        total_nll = jnp.zeros((), jnp.float32)
         mems = xl.init_mems(self.xcfg, cfg.EVALUATE.mem_length,
                             cfg.EVALUATE.batch_size)
         shard_eval = (self.multi_device
@@ -248,11 +251,11 @@ class Trainer:
                       else None)
             nll_sum, cnt, mems = self.eval_step_fn(
                 self.state.params, data, target, mems, sv)
-            total_nll += float(nll_sum)
-            total_token_num += int(cnt)
+            total_nll = total_nll + nll_sum
+            total_token_num = total_token_num + cnt
 
         results = self._generation_metrics(mode)
-        return total_token_num, total_nll, results
+        return int(total_token_num), float(total_nll), results
 
     def _generate_tokens(self, num_samples, temperature, batch_size=128,
                          seq_len=2048):

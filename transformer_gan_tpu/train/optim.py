@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -183,9 +184,20 @@ def scale_by_mutable_lr() -> optax.GradientTransformation:
 
 
 def make_optimizer(optim_name: str, base_lr: float, schedule,
-                   clip: float, weight_decay: float = 0.0
-                   ) -> optax.GradientTransformation:
-    """clip -> direction -> schedule*base_lr -> mutable multiplier -> -1."""
+                   clip: float, weight_decay: float = 0.0,
+                   fused: bool = True) -> optax.GradientTransformation:
+    """clip -> direction -> schedule*base_lr -> mutable multiplier -> -1.
+
+    ``fused=True`` (default) runs the whole chain on ONE raveled [P]
+    vector (make_fused_optimizer); the per-leaf optax chain is kept as
+    the semantics oracle (equivalence-tested). On the TPU runtime the
+    per-leaf chain costs ~10-20 small ops per leaf x 70 leaves — measured
+    53ms of a 137ms training step (profile_mle.py) — because each op pays
+    ~15-30us of issue latency; the fused update is a handful of [P]-wide
+    ops."""
+    if fused:
+        return make_fused_optimizer(optim_name, base_lr, schedule, clip,
+                                    weight_decay)
     name = optim_name.lower()
     if name == "adam":
         direction = optax.chain(
@@ -209,6 +221,89 @@ def make_optimizer(optim_name: str, base_lr: float, schedule,
         scale_by_mutable_lr(),
         optax.scale(-1.0),
     )
+
+
+class FusedOptState(NamedTuple):
+    count: jnp.ndarray   # int32: number of updates applied so far
+    mu: jnp.ndarray      # [P] first moment
+    nu: jnp.ndarray      # [P] second moment
+    lr: ScaleByLrState   # mutable multiplier slot (set_lr_multiplier)
+
+
+def make_fused_optimizer(optim_name: str, base_lr: float, schedule,
+                         clip: float, weight_decay: float = 0.0,
+                         b1: float = 0.9, b2: float = 0.999,
+                         trust_clip: float = 10.0
+                         ) -> optax.GradientTransformation:
+    """The full update (clip -> adam/adamw/lamb -> schedule -> lr slots ->
+    -1) as a few [P]-wide ops over the raveled parameter vector; identical
+    math to the per-leaf optax chain in ``make_optimizer(fused=False)``.
+    LAMB's per-leaf trust ratios come from ONE pair of segment-sum
+    reductions over the flat vector (leaf boundaries are static)."""
+    from jax.flatten_util import ravel_pytree
+
+    name = optim_name.lower()
+    if name not in ("adam", "adamw", "lamb", "jitlamb"):
+        raise NotImplementedError(optim_name)
+    lamb = name in ("lamb", "jitlamb")
+    eps = 1e-6 if lamb else 1e-8
+
+    def init_fn(params):
+        flat, _ = ravel_pytree(params)
+        zeros = jnp.zeros_like(flat)
+        return FusedOptState(
+            count=jnp.zeros((), jnp.int32), mu=zeros, nu=zeros,
+            lr=ScaleByLrState(lr_scale=jnp.ones((), jnp.float32)))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "fused optimizer requires params"
+        g, unravel = ravel_pytree(updates)
+        p, _ = ravel_pytree(params)
+
+        # optax.clip_by_global_norm semantics
+        gnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        g = g * jnp.where(gnorm < clip, 1.0, clip / gnorm)
+
+        if name == "adam" and weight_decay:
+            g = g + weight_decay * p   # add_decayed_weights BEFORE adam
+
+        count = optax.safe_int32_increment(state.count)
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * g * g
+
+        if lamb:
+            # reference lamb.py:52-118: NO bias correction, wd folded in,
+            # per-leaf trust = clamp(||w||, 0, 10) / (||step|| + eps)
+            step = mu / (jnp.sqrt(nu) + eps)
+            if weight_decay:
+                step = step + weight_decay * p
+            sizes = [x.size for x in jax.tree_util.tree_leaves(params)]
+            n_seg = len(sizes)
+            ends = jnp.asarray(np.cumsum(sizes), jnp.int32)
+            ids = jnp.searchsorted(ends, jnp.arange(p.size), side="right")
+            w_norm = jnp.clip(jnp.sqrt(jax.ops.segment_sum(
+                p * p, ids, num_segments=n_seg)), 0.0, trust_clip)
+            a_norm = jnp.sqrt(jax.ops.segment_sum(
+                step * step, ids, num_segments=n_seg))
+            trust = jnp.where((w_norm == 0.0) | (a_norm == 0.0),
+                              1.0, w_norm / (a_norm + eps))
+            direction = step * trust[ids]
+        else:
+            # optax.scale_by_adam: bias-corrected moments
+            c = count.astype(jnp.float32)
+            mu_hat = mu / (1.0 - b1 ** c)
+            nu_hat = nu / (1.0 - b2 ** c)
+            direction = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            if name == "adamw" and weight_decay:
+                direction = direction + weight_decay * p
+
+        # schedule(k) at update k (0-based), as optax.scale_by_schedule
+        mult = schedule(state.count) * base_lr * state.lr.lr_scale
+        flat_out = direction * (-mult)
+        return unravel(flat_out), FusedOptState(
+            count=count, mu=mu, nu=nu, lr=state.lr)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def set_lr_multiplier(opt_state, multiplier: float):

@@ -89,8 +89,15 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
 
     grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
 
-    def train_step(state: TrainState, data_c, target_c, reset_c,
+    # NOTE: opt_state is a separate, NON-donated argument. Donating the
+    # fused optimizer's flat [P] mu/nu buffers together with the rest of
+    # the state triggers an execution-time INVALID_ARGUMENT on the
+    # tunnel-backed TPU runtime (every aliasing pattern involved passes in
+    # isolation; the combination inside this step does not). The cost is
+    # two extra [P] fp32 buffers (~110MB at the 13.7M-param op point).
+    def train_step(rest: TrainState, opt_state, data_c, target_c, reset_c,
                    status_c=None):
+        state = rest._replace(opt_state=opt_state)
         step_rng = jax.random.fold_in(state.rng, state.step)
         rngs = jax.random.split(step_rng, batch_chunk)
 
@@ -124,7 +131,10 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
                 grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
         else:
-            grad_norm = jnp.zeros((), jnp.float32)
+            # keep the gradients LIVE through grad_norm: with grads fully
+            # unused XLA dead-code-eliminates the entire backward pass and
+            # a "no optimizer" ablation silently measures forward-only
+            grad_norm = global_grad_norm(grads)
             new_params, new_opt_state = state.params, state.opt_state
 
         new_state = TrainState(
@@ -137,7 +147,15 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def call(state: TrainState, *args):
+        return jitted(state._replace(opt_state=None), state.opt_state,
+                      *args)
+
+    call.lower = lambda state, *args: jitted.lower(
+        state._replace(opt_state=None), state.opt_state, *args)
+    return call
 
 
 def make_eval_step(xcfg: xl.XLConfig, pad_id: int):
