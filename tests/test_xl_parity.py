@@ -235,7 +235,7 @@ def test_kv_cache_path_matches_hidden_path():
     rng = np.random.RandomState(4)
     mems_h = xl.init_mems(xcfg_h, 32, 2)
     mems_kv = xl.init_mems(xcfg_kv, 32, 2)
-    assert mems_kv.hids.shape == (2, 2, 2, 4, 32, 8)
+    assert mems_kv.hids.shape == (2, 2, 4, 2, 32, 8)  # [L, 2, h, b, M, dh]
 
     import functools
 

@@ -122,9 +122,11 @@ def rel_attention_kv(w: jnp.ndarray,
     mem_len 1024 / tgt_len 128.
 
     w:     [qlen, bsz, d_model] current (pre-LN applied by caller if needed)
-    k_mem, v_mem: [bsz, n_head, mem_len, d_head] cached memory K/V
+    k_mem, v_mem: [n_head, bsz, mem_len, d_head] cached memory K/V
+    (h-major storage layout, chosen so the Pallas kernels read the memory
+    blocks directly with no transpose)
     Returns (attn_vec [qlen, bsz, n_head*d_head],
-             k_cur [bsz, n_head, qlen, d_head], v_cur likewise).
+             k_cur [n_head, bsz, qlen, d_head], v_cur likewise).
     """
     qlen, bsz = w.shape[0], w.shape[1]
     mem_len = k_mem.shape[2]
@@ -137,8 +139,8 @@ def rel_attention_kv(w: jnp.ndarray,
     q = q.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
     k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
     v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
-    k = jnp.concatenate([k_mem, k_cur], axis=2)   # [b, h, klen, d]
-    v = jnp.concatenate([v_mem, v_cur], axis=2)
+    k = jnp.concatenate([k_mem.transpose(1, 0, 2, 3), k_cur], axis=2)
+    v = jnp.concatenate([v_mem.transpose(1, 0, 2, 3), v_cur], axis=2)
 
     if r.ndim == 3:
         # pre-projected positional heads [klen, n_head, d_head] (constant
@@ -166,4 +168,5 @@ def rel_attention_kv(w: jnp.ndarray,
     ctx = attn_prob.astype(v.dtype) @ v           # [b, h, qlen, d]
     attn_vec = ctx.transpose(2, 0, 1, 3).reshape(qlen, bsz,
                                                  n_head * d_head)
-    return attn_vec, k_cur, v_cur
+    return (attn_vec, k_cur.transpose(1, 0, 2, 3),
+            v_cur.transpose(1, 0, 2, 3))

@@ -93,8 +93,9 @@ class XLMems(NamedTuple):
     hids layout depends on XLConfig.cache_kv:
       False: [n_layer+1, mem_len, bsz, d_model]  (reference semantics:
              raw hidden states, QKV recomputed over them each step)
-      True:  [n_layer, 2, bsz, n_head, mem_len, d_head]  (projected K/V in
-             attention-ready layout; mathematically identical, ~9x less
+      True:  [n_layer, 2, n_head, bsz, mem_len, d_head]  (projected K/V,
+             h-major so the fused kernels read per-(h, b) memory blocks
+             directly; mathematically identical to the raw path, ~9x less
              memory-side QKV compute at train shapes)
     """
 
@@ -107,7 +108,9 @@ def init_mems(cfg: XLConfig, mem_len: int, bsz: int,
     """Empty memory (reference init_mems, mem_transformer.py:436-443)."""
     dtype = dtype or cfg.cdtype
     if cfg.cache_kv:
-        buf = jnp.zeros((cfg.n_layer, 2, bsz, cfg.n_head, mem_len,
+        # h-major [L, 2, h, b, M, dh]: the Pallas kernels read per-(h, b)
+        # memory blocks straight from this layout (no transpose/concat)
+        buf = jnp.zeros((cfg.n_layer, 2, cfg.n_head, bsz, mem_len,
                          cfg.d_head), dtype=dtype)
     else:
         buf = jnp.zeros((cfg.n_layer + 1, mem_len, bsz, cfg.d_model),
@@ -247,8 +250,11 @@ def decoder_layer(layer, cfg: XLConfig, core_out, mems_i, pos_emb,
     use_fused = (cfg.cache_kv and cfg.use_pallas
                  and core_out.shape[0] >= 8)
     if use_fused:
-        if core_out.shape[0] % 8 == 0:
-            # v2: position term computed in-kernel (no HBM score tensors)
+        from ..ops import pallas_attention_v2 as _v2
+        if _v2.supports_v2(core_out.shape[0], mems_i.shape[-2],
+                           interpret=_v2.INTERPRET):
+            # v2: position term computed in-kernel (no HBM score
+            # tensors), memory read in its storage layout
             from ..ops.pallas_attention_v2 import (
                 rel_attention_kv_fused_v2 as rel_attention_kv_fused)
         else:
@@ -405,7 +411,7 @@ def xl_forward(params, cfg: XLConfig, inp, mems: XLMems,
     # Memory update: roll the ring buffer (reference _update_mems).
     if mem_len > 0:
         if cfg.cache_kv:
-            # [n_layer, 2, bsz, h, qlen, dh]
+            # [n_layer, 2, h, bsz, qlen, dh]
             stacked = jnp.stack(
                 [jnp.stack(kv, axis=0) for kv in kvs]).astype(
                     mems.hids.dtype)
@@ -538,15 +544,15 @@ def init_decode_state(params, cfg: XLConfig, mem_len: int, bsz: int,
 
 def decode_state_from_mems(params, cfg: XLConfig, mems: XLMems,
                            fused_rows=None) -> DecodeState:
-    """cache_kv memory [L, 2, b, h, M, dh] -> per-layer dense K(+R) + V."""
+    """cache_kv memory [L, 2, h, b, M, dh] -> per-layer dense K(+R) + V."""
     if not cfg.cache_kv:
         raise ValueError("chunked decode requires cache_kv memory layout")
-    b = mems.hids.shape[2]
+    b = mems.hids.shape[3]
     M = mems.hids.shape[4]
     hd = cfg.n_head * cfg.d_head
 
-    def dense(x):  # [b, h, M, dh] -> [b, M, h*dh]
-        return x.transpose(0, 2, 1, 3).reshape(b, M, hd)
+    def dense(x):  # [h, b, M, dh] -> [b, M, h*dh]
+        return x.transpose(1, 2, 0, 3).reshape(b, M, hd)
 
     if _use_fused_rows(b, fused_rows):
         rr = _r_rows(params, cfg, M, b, mems.hids.dtype)
@@ -565,8 +571,8 @@ def mems_from_decode_state(cfg: XLConfig, state: DecodeState) -> XLMems:
     """Inverse of decode_state_from_mems (drops the positional rows)."""
     b, M, _ = state.kv[0][1].shape
 
-    def heads(x):  # [b, M, h*dh] -> [b, h, M, dh]
-        return x.reshape(b, M, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)
+    def heads(x):  # [b, M, h*dh] -> [h, b, M, dh]
+        return x.reshape(b, M, cfg.n_head, cfg.d_head).transpose(2, 0, 1, 3)
 
     hids = jnp.stack([
         jnp.stack([heads(kr[:, :M]), heads(v)], axis=0)

@@ -268,7 +268,10 @@ def rel_attention_kv_fused(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
                            dropatt: float = 0.0, dropatt_rng=None):
     """Drop-in fused variant of attention.rel_attention_kv (same outputs,
     including attention-prob dropout generated in-kernel from a
-    per-program seed)."""
+    per-program seed). k_mem/v_mem arrive h-major [h, b, mem, dh] (the
+    storage layout); this fallback path transposes them to its internal
+    [b, h, ...] layout — the v2 kernel avoids that, use it when
+    ``supports_v2``. Returns k_cur/v_cur h-major."""
     qlen, bsz = w.shape[0], w.shape[1]
     mem_len = k_mem.shape[2]
     klen = mem_len + qlen
@@ -279,8 +282,8 @@ def rel_attention_kv_fused(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
     q = q.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
     k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
     v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
-    k = jnp.concatenate([k_mem, k_cur], axis=2)
-    v = jnp.concatenate([v_mem, v_cur], axis=2)
+    k = jnp.concatenate([k_mem.transpose(1, 0, 2, 3), k_cur], axis=2)
+    v = jnp.concatenate([v_mem.transpose(1, 0, 2, 3), v_cur], axis=2)
 
     r_head_k = (r @ r_w).reshape(klen, n_head, d_head)
     rr_q = q + r_r_bias.astype(q.dtype)[None, :, None, :]
@@ -313,4 +316,5 @@ def rel_attention_kv_fused(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
     o = o.reshape(bsz, n_head, qlen, d_head)
     attn_vec = o.transpose(2, 0, 1, 3).reshape(qlen, bsz,
                                                n_head * d_head)
-    return attn_vec.astype(w.dtype), k_cur, v_cur
+    return (attn_vec.astype(w.dtype), k_cur.transpose(1, 0, 2, 3),
+            v_cur.transpose(1, 0, 2, 3))

@@ -108,19 +108,23 @@ def _scatter_bd(ds, qlen, klen):
     return _row_shift(padded, qlen, left=False, out_bf16=fast)
 
 
-def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
-                v_ref, rk_ref, o_ref, m_ref, l_ref, *, scale, mem_len,
-                same_length, dropatt):
+def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
+                vmem_ref, kcur_ref, vcur_ref, rk_ref, o_ref, m_ref, l_ref,
+                *, scale, mem_len, same_length, dropatt):
     ih = pl.program_id(0)
     ib = pl.program_id(1)
     qlen = qrw_ref.shape[2]
-    klen = k_ref.shape[2]
+    klen = mem_len + qlen
 
     # keep matmul inputs in their storage dtype (bf16 x bf16 -> f32 is the
     # native MXU mode; upcasting first would force slow f32 passes)
     qrw = qrw_ref[0, 0]                           # [q, dh]
     qrr = qrr_ref[0, 0]
-    k = k_ref[0, 0]                               # [klen, dh]
+    # memory and current K/V arrive as SEPARATE refs (memory in its
+    # storage layout — no [b,h,klen,dh] concat or transpose in HBM); the
+    # sublane-dim concat here is a VMEM-local copy (~115KB)
+    k = jnp.concatenate([kmem_ref[0, 0], kcur_ref[0, 0]], axis=0)
+    v_blk = jnp.concatenate([vmem_ref[0, 0], vcur_ref[0, 0]], axis=0)
     rk = rk_ref[0].astype(qrr.dtype)              # [KP, dh]
 
     ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
@@ -146,7 +150,7 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
                              ih * pl.num_programs(1) + ib, p.shape, dropatt)
         p = jnp.where(keep, p / (1.0 - dropatt), 0.0)
 
-    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+    o = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
@@ -154,19 +158,19 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
     l_ref[0, 0, 0] = l[:, 0]
 
 
-def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
-                v_ref, rk_ref, m_ref, l_ref, do_ref,
-                dqrw_ref, dqrr_ref, dk_ref, dv_ref, drk_ref,
+def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
+                vmem_ref, kcur_ref, vcur_ref, rk_ref, m_ref, l_ref, do_ref,
+                dqrw_ref, dqrr_ref, dkcur_ref, dvcur_ref, drk_ref,
                 *, scale, mem_len, same_length, dropatt):
     ih = pl.program_id(0)
     ib = pl.program_id(1)
     qlen = qrw_ref.shape[2]
-    klen = k_ref.shape[2]
+    klen = mem_len + qlen
 
     qrw = qrw_ref[0, 0]
     qrr = qrr_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    k = jnp.concatenate([kmem_ref[0, 0], kcur_ref[0, 0]], axis=0)
+    v = jnp.concatenate([vmem_ref[0, 0], vcur_ref[0, 0]], axis=0)
     rk = rk_ref[0].astype(qrr.dtype)
     do = do_ref[0, 0]
 
@@ -191,9 +195,14 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
         p_drop = p
 
     cd = k.dtype
-    dv = jax.lax.dot_general(p_drop.astype(cd), do,
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    # Memory K/V gradients are never consumed (training always detaches
+    # the XL memory; the callers that need gradients through memory use
+    # the jnp/chunked paths), so dv/dk are computed for the CURRENT
+    # columns only — 8/9 of those matmuls and two [klen, dh]-sized HBM
+    # writes per (b, h) skipped at mem 1024.
+    dv_cur = jax.lax.dot_general(
+        p_drop[:, mem_len:].astype(cd), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if dropatt > 0.0:
@@ -204,8 +213,9 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
 
     dqrw = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, qrw, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dk_cur = jax.lax.dot_general(ds[:, mem_len:], qrw,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
     # scatter (f32 or bitcast-bf16 stages), then bf16 matmuls
     dw = _scatter_bd(ds_f32, qlen, klen).astype(cd)  # [q, KP]
     dqrr = jax.lax.dot_general(dw, rk, (((1,), (0,)), ((), ())),
@@ -215,8 +225,8 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, k_ref,
 
     dqrw_ref[0, 0] = dqrw.astype(dqrw_ref.dtype)
     dqrr_ref[0, 0] = dqrr.astype(dqrr_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dkcur_ref[0, 0] = dk_cur.astype(dkcur_ref.dtype)
+    dvcur_ref[0, 0] = dv_cur.astype(dvcur_ref.dtype)
 
     # dR accumulates over the batch sweep (grid iterates batch innermost,
     # so this h's block stays resident between steps).
@@ -239,18 +249,19 @@ def _h3(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale, same_length,
-             dropatt):
+def _fwd_raw(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, count, reset, seed,
+             scale, same_length, dropatt):
     H, B, qlen, dh = qrw.shape
-    klen = k.shape[2]
-    mem_len = klen - qlen
+    mem_len = k_mem.shape[2]
+    klen = mem_len + qlen
     kernel = functools.partial(_fwd_kernel, scale=scale, mem_len=mem_len,
                                same_length=same_length, dropatt=dropatt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(H, B),
-        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
-                  _hb4((klen, dh)), _h3((klen + qlen, dh))],
+        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((mem_len, dh)),
+                  _hb4((mem_len, dh)), _hb4((qlen, dh)), _hb4((qlen, dh)),
+                  _h3((klen + qlen, dh))],
         out_specs=[
             _hb4((qlen, dh)),
             pl.BlockSpec((1, 1, 1, qlen),
@@ -268,21 +279,22 @@ def _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale, same_length,
             jax.ShapeDtypeStruct((H, B, 1, qlen), jnp.float32),
             jax.ShapeDtypeStruct((H, B, 1, qlen), jnp.float32),
         ],
-    )(count, reset, seed, qrw, qrr, k, v, rk)
+    )(count, reset, seed, qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk)
 
 
-def _bwd_raw(qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
-             same_length, dropatt):
+def _bwd_raw(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, m, l, count, reset,
+             seed, do, scale, same_length, dropatt):
     H, B, qlen, dh = qrw.shape
-    klen = k.shape[2]
-    mem_len = klen - qlen
+    mem_len = k_mem.shape[2]
+    klen = mem_len + qlen
     kernel = functools.partial(_bwd_kernel, scale=scale, mem_len=mem_len,
                                same_length=same_length, dropatt=dropatt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(H, B),
-        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
-                  _hb4((klen, dh)), _h3((klen + qlen, dh)),
+        in_specs=[_hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((mem_len, dh)),
+                  _hb4((mem_len, dh)), _hb4((qlen, dh)), _hb4((qlen, dh)),
+                  _h3((klen + qlen, dh)),
                   pl.BlockSpec((1, 1, 1, qlen),
                                lambda ih, ib, *_: (ih, ib, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -291,8 +303,8 @@ def _bwd_raw(qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
                                memory_space=pltpu.VMEM),
                   _hb4((qlen, dh))],
         out_specs=[
-            _hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((klen, dh)),
-            _hb4((klen, dh)), _h3((klen + qlen, dh)),
+            _hb4((qlen, dh)), _hb4((qlen, dh)), _hb4((qlen, dh)),
+            _hb4((qlen, dh)), _h3((klen + qlen, dh)),
         ],
     )
     return pl.pallas_call(
@@ -300,40 +312,51 @@ def _bwd_raw(qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
         out_shape=[
             jax.ShapeDtypeStruct((H, B, qlen, dh), qrw.dtype),
             jax.ShapeDtypeStruct((H, B, qlen, dh), qrr.dtype),
-            jax.ShapeDtypeStruct((H, B, klen, dh), k.dtype),
-            jax.ShapeDtypeStruct((H, B, klen, dh), v.dtype),
+            jax.ShapeDtypeStruct((H, B, qlen, dh), k_cur.dtype),
+            jax.ShapeDtypeStruct((H, B, qlen, dh), v_cur.dtype),
             jax.ShapeDtypeStruct((H, klen + qlen, dh), jnp.float32),
         ],
-    )(count, reset, seed, qrw, qrr, k, v, rk, m, l, do)
+    )(count, reset, seed, qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, m, l,
+      do)
 
 
 @functools.lru_cache(maxsize=None)
 def make_fused_attention_v2(scale: float, same_length: bool,
                             dropatt: float = 0.0):
-    """fn(qrw, qrr, k, v, rk, count, reset, seed) -> o [H, B, q, dh] fp32.
+    """fn(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, count, reset, seed)
+    -> o [H, B, q, dh] fp32.
 
-    qrw/qrr: [H, B, q, dh] (q + r_w_bias / q + r_r_bias), k/v: [H, B,
-    klen, dh], rk: [H, klen+q, dh] per-head projected positional
-    embeddings zero-padded with q rows.
+    qrw/qrr: [H, B, q, dh] (q + r_w_bias / q + r_r_bias); k_mem/v_mem:
+    [H, B, mem_len, dh] (the XL memory in its storage layout — the kernel
+    concatenates mem and current K/V in VMEM, so no [b,h,klen,dh] HBM
+    concat exists); k_cur/v_cur: [H, B, q, dh]; rk: [H, klen+q, dh]
+    per-head projected positional embeddings zero-padded with q rows.
+
+    The backward produces NO k_mem/v_mem gradients (zeros, DCE'd by XLA):
+    every caller detaches the XL memory on this path.
     """
 
     @jax.custom_vjp
-    def fused(qrw, qrr, k, v, rk, count, reset, seed):
-        o, _, _ = _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale,
-                           same_length, dropatt)
+    def fused(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, count, reset,
+              seed):
+        o, _, _ = _fwd_raw(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk,
+                           count, reset, seed, scale, same_length, dropatt)
         return o
 
-    def fwd(qrw, qrr, k, v, rk, count, reset, seed):
-        o, m, l = _fwd_raw(qrw, qrr, k, v, rk, count, reset, seed, scale,
-                           same_length, dropatt)
-        return o, (qrw, qrr, k, v, rk, m, l, count, reset, seed)
+    def fwd(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, count, reset, seed):
+        o, m, l = _fwd_raw(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk,
+                           count, reset, seed, scale, same_length, dropatt)
+        return o, (qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, m, l, count,
+                   reset, seed)
 
     def bwd(res, do):
-        qrw, qrr, k, v, rk, m, l, count, reset, seed = res
-        dqrw, dqrr, dk, dv, drk = _bwd_raw(
-            qrw, qrr, k, v, rk, m, l, count, reset, seed, do, scale,
-            same_length, dropatt)
-        return (dqrw, dqrr, dk, dv, drk.astype(rk.dtype),
+        (qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, m, l, count, reset,
+         seed) = res
+        dqrw, dqrr, dk_cur, dv_cur, drk = _bwd_raw(
+            qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, m, l, count, reset,
+            seed, do, scale, same_length, dropatt)
+        return (dqrw, dqrr, jnp.zeros_like(k_mem), jnp.zeros_like(v_mem),
+                dk_cur, dv_cur, drk.astype(rk.dtype),
                 jnp.zeros_like(count), jnp.zeros_like(reset),
                 jnp.zeros_like(seed))
 
@@ -347,7 +370,13 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
                               dropatt: float = 0.0, dropatt_rng=None):
     """Drop-in fused variant with the position term computed in-kernel.
 
-    Same contract as attention.rel_attention_kv. Requires qlen % 8 == 0.
+    Same contract as attention.rel_attention_kv: k_mem/v_mem arrive in
+    the h-major storage layout [h, b, mem_len, dh] and are fed to the
+    kernel UNTOUCHED (no transpose, no [b,h,klen,dh] concat — those were
+    ~2.6 ms/layer of pure HBM traffic at the training op-point); returns
+    (attn_vec [q, b, h*dh], k_cur [h, b, q, dh], v_cur likewise).
+    Requires qlen % 8 == 0 and lane-aligned mem_len (callers gate on
+    ``supports_v2``).
     """
     qlen, bsz = w.shape[0], w.shape[1]
     mem_len = k_mem.shape[2]
@@ -356,11 +385,10 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
 
     w_heads = w @ qkv_w
     q, k_cur, v_cur = jnp.split(w_heads, 3, axis=-1)
-    q = q.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
-    k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
-    v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(1, 2, 0, 3)
-    k = jnp.concatenate([k_mem, k_cur], axis=2)
-    v = jnp.concatenate([v_mem, v_cur], axis=2)
+    # [q, b, h*dh] -> [h, b, q, dh] (q-sized transposes only)
+    q = q.reshape(qlen, bsz, n_head, d_head).transpose(2, 1, 0, 3)
+    k_cur = k_cur.reshape(qlen, bsz, n_head, d_head).transpose(2, 1, 0, 3)
+    v_cur = v_cur.reshape(qlen, bsz, n_head, d_head).transpose(2, 1, 0, 3)
 
     # per-head projected positional embeddings, zero-padded with q rows
     r_head_k = (r @ r_w).reshape(klen, n_head, d_head).transpose(1, 0, 2)
@@ -368,12 +396,8 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
         [r_head_k, jnp.zeros((n_head, qlen, d_head), r_head_k.dtype)],
         axis=1)  # [h, klen+q, dh]
 
-    qrw = (q + r_w_bias.astype(q.dtype)[None, :, None, :]).transpose(
-        1, 0, 2, 3)  # [h, b, q, dh]
-    qrr = (q + r_r_bias.astype(q.dtype)[None, :, None, :]).transpose(
-        1, 0, 2, 3)
-    k_hb = k.transpose(1, 0, 2, 3)
-    v_hb = v.transpose(1, 0, 2, 3)
+    qrw = q + r_w_bias.astype(q.dtype)[:, None, None, :]  # [h, b, q, dh]
+    qrr = q + r_r_bias.astype(q.dtype)[:, None, None, :]
 
     if reset_rows is None:
         reset = jnp.zeros((bsz,), jnp.int32)
@@ -388,7 +412,18 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
         seed = jnp.zeros((1,), jnp.int32)
 
     fused = make_fused_attention_v2(scale, same_length, rate)
-    o = fused(qrw, qrr, k_hb, v_hb, rk, count, reset, seed)
+    o = fused(qrw, qrr, k_mem, v_mem, k_cur, v_cur, rk, count, reset,
+              seed)
     # [h, b, q, dh] -> [q, b, h*dh]
     attn_vec = o.transpose(2, 1, 0, 3).reshape(qlen, bsz, n_head * d_head)
     return attn_vec.astype(w.dtype), k_cur, v_cur
+
+
+def supports_v2(qlen: int, mem_len: int, interpret: bool = False) -> bool:
+    """Shape constraints of the v2 kernels: q-blocks of 8 rows for the
+    shift extraction, and a lane-aligned mem boundary for the backward's
+    ds[:, mem_len:] slice (Mosaic requires 128-multiple lane offsets).
+    Interpret mode (CPU tests) has no alignment constraints."""
+    if qlen % 8 != 0 or mem_len == 0:
+        return False
+    return interpret or mem_len % 128 == 0

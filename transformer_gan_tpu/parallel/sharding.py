@@ -9,16 +9,30 @@ from ..models import xl
 from ..train import step as tstep
 
 
+def _mems_batch_spec(hids, chunked: bool) -> P:
+    """PartitionSpec splitting the memory's batch axis over 'data'.
+
+    cache_kv layout [L, 2, h, bsz, M, dh] -> batch axis 3; raw layout
+    [L+1, M, bsz, d] -> axis 2; chunk stacking prepends one axis."""
+    ndim = hids.ndim
+    batch_axis = (3 if ndim - (1 if chunked else 0) == 6 else 2) \
+        + (1 if chunked else 0)
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return P(*spec)
+
+
 def train_state_shardings(state: tstep.TrainState, mesh: Mesh):
     """Params/opt replicated; chunk-stacked memory sharded on its batch
-    axis ([C, L+1, M, bsz_c, d] -> axis 3)."""
+    axis."""
     rep = NamedSharding(mesh, P())
 
     def rep_like(tree):
         return jax.tree.map(lambda _: rep, tree)
 
     mems_sh = xl.XLMems(
-        hids=NamedSharding(mesh, P(None, None, None, "data")),
+        hids=NamedSharding(
+            mesh, _mems_batch_spec(state.mems.hids, chunked=True)),
         count=rep)
     return tstep.TrainState(
         params=rep_like(state.params),
@@ -86,9 +100,9 @@ def place_eval_batch(mesh: Mesh, data, target, status_vec=None):
 
 
 def place_eval_mems(mesh: Mesh, mems: xl.XLMems) -> xl.XLMems:
-    """Un-chunked eval memory: the batch axis is 2 in both layouts
-    (cache_kv [L, 2, bsz, h, M, dh]; raw [L+1, M, bsz, d])."""
+    """Un-chunked eval memory sharded on its batch axis."""
     hids = jax.device_put(
-        mems.hids, NamedSharding(mesh, P(None, None, "data")))
+        mems.hids,
+        NamedSharding(mesh, _mems_batch_spec(mems.hids, chunked=False)))
     count = jax.device_put(mems.count, NamedSharding(mesh, P()))
     return xl.XLMems(hids=hids, count=count)

@@ -23,7 +23,7 @@ from .optim import global_grad_norm
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
-    mems: xl.XLMems      # chunk-stacked: hids [C, L+1, M, bsz_c, d], count [C]
+    mems: xl.XLMems      # chunk-stacked: hids [C, *init_mems-shape], count [C]
     rng: jax.Array
     step: jnp.ndarray    # int32 scalar
 
