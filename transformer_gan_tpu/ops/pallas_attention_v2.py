@@ -127,12 +127,14 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
     v_blk = jnp.concatenate([vmem_ref[0, 0], vcur_ref[0, 0]], axis=0)
     rk = rk_ref[0].astype(qrr.dtype)              # [KP, dh]
 
+    # qrw/qrr arrive PRE-SCALED by 1/sqrt(dh) (wrapper) — no score-wide
+    # scale pass; `scale` is retained only for kernels' API stability
+    del scale
     ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     w_mat = jax.lax.dot_general(qrr, rk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    bd = _extract_bd(w_mat, qlen, klen)
-    s = (ac + bd) * scale
+    s = ac + _extract_bd(w_mat, qlen, klen)
 
     count = count_ref[0]
     reset_b = reset_ref[ib] != 0
@@ -140,19 +142,22 @@ def _fwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
     s = jnp.where(mask, NEG, s)
 
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp(s - m)                       # UNNORMALIZED probs
     l = jnp.sum(p, axis=1, keepdims=True)
-    p = p / l
 
+    # normalization (and the dropout keep-scale) deferred past PV: one
+    # [q, dh] multiply instead of score-wide divides
+    o_scale = 1.0 / l
     if dropatt > 0.0:
         from .pallas_attention import _dropout_keep
         keep = _dropout_keep(seed_ref[0],
                              ih * pl.num_programs(1) + ib, p.shape, dropatt)
-        p = jnp.where(keep, p / (1.0 - dropatt), 0.0)
+        p = jnp.where(keep, p, 0.0)
+        o_scale = o_scale / (1.0 - dropatt)
 
     o = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * o_scale
     o_ref[0, 0] = o.astype(o_ref.dtype)
     m_ref[0, 0, 0] = m[:, 0]
     l_ref[0, 0, 0] = l[:, 0]
@@ -174,11 +179,15 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
     rk = rk_ref[0].astype(qrr.dtype)
     do = do_ref[0, 0]
 
+    # qrw/qrr pre-scaled (see _fwd_kernel): s carries no scale factor and
+    # all gradients are w.r.t. the scaled queries (the wrapper's scalar
+    # multiply back-propagates the 1/sqrt(dh) automatically)
+    del scale
     ac = jax.lax.dot_general(qrw, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     w_mat = jax.lax.dot_general(qrr, rk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    s = (ac + _extract_bd(w_mat, qlen, klen)) * scale
+    s = ac + _extract_bd(w_mat, qlen, klen)
     count = count_ref[0]
     reset_b = reset_ref[ib] != 0
     mask = _mask_block(qlen, klen, mem_len, count, reset_b, same_length)
@@ -208,7 +217,7 @@ def _bwd_kernel(count_ref, reset_ref, seed_ref, qrw_ref, qrr_ref, kmem_ref,
     if dropatt > 0.0:
         dp = jnp.where(keep, dp / (1.0 - dropatt), 0.0)
     dsum = jnp.sum(dp * p, axis=1, keepdims=True)
-    ds_f32 = p * (dp - dsum) * scale               # [q, klen]
+    ds_f32 = p * (dp - dsum)                       # [q, klen]
     ds = ds_f32.astype(cd)
 
     dqrw = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
@@ -396,8 +405,11 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
         [r_head_k, jnp.zeros((n_head, qlen, d_head), r_head_k.dtype)],
         axis=1)  # [h, klen+q, dh]
 
-    qrw = q + r_w_bias.astype(q.dtype)[:, None, None, :]  # [h, b, q, dh]
-    qrr = q + r_r_bias.astype(q.dtype)[:, None, None, :]
+    # pre-scale the queries: a [h,b,q,dh]-sized multiply here replaces a
+    # score-wide [q, klen] scale pass inside the kernel
+    sc = jnp.asarray(scale, q.dtype)
+    qrw = (q + r_w_bias.astype(q.dtype)[:, None, None, :]) * sc
+    qrr = (q + r_r_bias.astype(q.dtype)[:, None, None, :]) * sc
 
     if reset_rows is None:
         reset = jnp.zeros((bsz,), jnp.int32)
