@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -394,6 +395,7 @@ class GanPhases:
         fresh real batches (no-op when the discriminator is frozen)."""
         if self.dis_optimizer is None:
             return
+        t0 = time.perf_counter()
         self.dis_opt_state = topt.set_lr_multiplier(
             self.dis_opt_state, float(self.dis_sched(train_step_num)))
         for _ in range(self.cfg.DISCRIMINATOR.dis_steps):
@@ -404,10 +406,13 @@ class GanPhases:
                 self._split_rng())
             self.log_dis_loss += float(dloss)
             self.log_dis_num += self.gcfg.batch_chunk
+        logging.info("dis_phase step %d: %.2fs", train_step_num,
+                     time.perf_counter() - t0)
 
     def gen_phase(self, train_step_num: int):
         """Reference train.py:1016-1090: optional PPO classifier update,
         then the adversarial generator update."""
+        t0 = time.perf_counter()
         self.gen_opt_state = topt.set_lr_multiplier(
             self.gen_opt_state, float(self.gen_sched(train_step_num)))
         data_c = self._next_dis_batch()
@@ -430,6 +435,8 @@ class GanPhases:
         self.trainer.state = self.trainer.state._replace(params=new_params)
         self.log_gen_loss += float(gloss)
         self.log_gen_num += self.gcfg.batch_chunk
+        logging.info("gen_phase step %d: %.2fs", train_step_num,
+                     time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
     def pop_log_stats(self):
