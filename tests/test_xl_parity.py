@@ -340,3 +340,18 @@ def test_pallas_v2_fused_attention_matches_jnp(monkeypatch):
     fb = np.concatenate([np.asarray(x).ravel()
                          for x in jax.tree_util.tree_leaves(gb)])
     np.testing.assert_allclose(fb, fa, rtol=5e-4, atol=1e-6)
+
+
+def test_kernel_dispatch_constraints():
+    """supports_v2 gates the v2 kernel's Mosaic shape constraints: 8-row
+    q blocks for the shift extraction and (on hardware) a lane-aligned
+    mem boundary for the backward's ds[:, mem:] slice; mem 0 has no
+    memory block to read."""
+    from transformer_gan_tpu.ops.pallas_attention_v2 import supports_v2
+    assert supports_v2(128, 1024)           # training op-point
+    assert supports_v2(128, 128)            # GAN dis op-point
+    assert supports_v2(128, 2048)           # eval op-point
+    assert not supports_v2(12, 1024)        # qlen % 8 != 0 -> v1
+    assert not supports_v2(128, 96)         # unaligned mem -> v1 (hw)
+    assert supports_v2(16, 32, interpret=True)   # CPU tests: any mem
+    assert not supports_v2(128, 0)          # no memory block
