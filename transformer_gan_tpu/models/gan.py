@@ -107,11 +107,13 @@ def prime_context(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, data):
 
 
 def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
-             mems, prev_onehot, detach_flags, rng):
+             mems, prev_onehot, detach_flags, rng, noise=None):
     """Sequential gumbel-ST sampling of len(detach_flags) tokens.
 
     prev_onehot: [bsz, V] seed sample; detach_flags[t] True stops gradient
     through the input at step t (chunk starts / truncate_backprop).
+    ``noise`` optionally injects the per-step uniform gumbel draws
+    ([n_steps, bsz, V]; trajectory-parity harness), replacing ``rng``.
     Returns (samples [n, bsz, V], mems, last_onehot)."""
     n_steps = detach_flags.shape[0]
     rngs = jax.random.split(rng, n_steps)
@@ -120,21 +122,27 @@ def gen_scan(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig, temperature,
     # gradient to r_w through the single hoisted projection is identical
     r_heads = (xl.precompute_r_heads(gen_params, xcfg, gcfg.mem_len + 1)
                if xcfg.cache_kv else None)
+    inject = noise is not None
 
     def body(carry, xs):
         prev, mems = carry
-        detach, rng_t = xs
+        if inject:
+            detach, rng_t, u_t = xs
+            u_t = u_t[None]   # [bsz, V] -> logits shape [1, bsz, V]
+        else:
+            detach, rng_t = xs
+            u_t = None
         hard = jax.lax.stop_gradient(
             jax.nn.one_hot(jnp.argmax(prev, -1), gcfg.n_token,
                            dtype=prev.dtype))
         inp = jnp.where(detach, hard, prev)
         onehot, mems = xl.forward_generate_gumbel(
             gen_params, xcfg, inp[None], temperature, mems, rng_t,
-            detach_mems=True, r_heads=r_heads)
+            detach_mems=True, r_heads=r_heads, gumbel_u=u_t)
         return (onehot[0], mems), onehot[0]
 
-    (last, mems), samples = jax.lax.scan(
-        body, (prev_onehot, mems), (detach_flags, rngs))
+    xs = (detach_flags, rngs, noise) if inject else (detach_flags, rngs)
+    (last, mems), samples = jax.lax.scan(body, (prev_onehot, mems), xs)
     return samples, mems, last
 
 
@@ -231,7 +239,7 @@ def prime_context_state(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
 
 
 def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
-                       data, temperature, rng):
+                       data, temperature, rng, noise=None):
     """Produce the per-chunk fake sequences for one GAN batch.
 
     data: [tgt_len, bsz] real ids. Returns a list of
@@ -241,30 +249,39 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     With ``cache_kv`` the sequential sampling runs on the two-level chunked
     decode cache (gen_scan_chunked); the rolling gen_scan is the oracle
     path (equivalence tested for samples, losses, and gradients).
+
+    ``noise``: optional [tgt_len - context_len, bsz, V] uniform gumbel
+    draws consumed in sampling order (trajectory-parity harness; rolling
+    path only).
     """
     bsz = data.shape[1]
     V = gcfg.n_token
     chunks = []
     rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
     chunked = bool(xcfg.cache_kv) and gcfg.decode_cache != "rolling"
+    if noise is not None and chunked:
+        raise NotImplementedError(
+            "gumbel-noise injection is supported on the rolling oracle "
+            "path only (set decode_cache='rolling' / cache_kv=False)")
     if chunked:
         mems = prime_context_state(gen_params, xcfg, gcfg, data)
     else:
         mems = prime_context(gen_params, xcfg, gcfg, data)
 
-    def scan(mems, seed, flags, rng_c):
+    def scan(mems, seed, flags, rng_c, noise_c):
         if chunked:
             return gen_scan_chunked(gen_params, xcfg, gcfg, temperature,
                                     mems, seed, flags, rng_c)
         return gen_scan(gen_params, xcfg, gcfg, temperature, mems, seed,
-                        flags, rng_c)
+                        flags, rng_c, noise=noise_c)
 
     # chunk 0: real context one-hots at the head, then generation
     ctx = gcfg.context_len
     real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
     n_gen0 = gcfg.sample_len - ctx
     flags0 = jnp.full((n_gen0,), bool(gcfg.truncate_backprop))
-    samples0, mems, last = scan(mems, real_ctx[-1], flags0, rngs[0])
+    noise0 = noise[:n_gen0] if noise is not None else None
+    samples0, mems, last = scan(mems, real_ctx[-1], flags0, rngs[0], noise0)
     fake0 = jnp.concatenate([real_ctx, samples0], axis=0)
     chunks.append((fake0, data[0:gcfg.sample_len]))
 
@@ -275,8 +292,12 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
         flags = jnp.concatenate([
             jnp.array([True]),
             jnp.full((gcfg.sample_len - 1,), bool(gcfg.truncate_backprop))])
+        noise_c = None
+        if noise is not None:
+            off = n_gen0 + (c - 1) * gcfg.sample_len
+            noise_c = noise[off:off + gcfg.sample_len]
         samples, mems, last = scan(mems, jax.lax.stop_gradient(last),
-                                   flags, rngs[c])
+                                   flags, rngs[c], noise_c)
         start = c * gcfg.sample_len
         chunks.append((samples, data[start:start + gcfg.sample_len]))
     return chunks
@@ -412,18 +433,19 @@ def compute_P0(disD_params, disD_cfg, gcfg: GanConfig, fake_chunk):
 def gan_losses_for_batch(gen_params, dis_params, dis_cfg, xcfg, gcfg,
                          data, temperature, rng, *, train_dis: bool,
                          disD_params=None, disD_cfg=None, P0=None,
-                         update_P0: bool = False):
+                         update_P0: bool = False, sample_noise=None):
     """Sample fakes and score every chunk.
 
     Returns (dict with summed (over chunks) gen_loss, dis_loss, gp_loss,
     new P0). For the dis phase the fake is detached
     (transformer_gan.py:346-347). With ``update_P0`` (reference
     update_D0 / first call, :376-381), P0 is re-snapshotted from each
-    chunk's fake before use.
+    chunk's fake before use. ``sample_noise`` feeds injected gumbel
+    draws through to sample_fake_chunks (trajectory-parity harness).
     """
     rng, sample_rng = jax.random.split(rng)
     chunks = sample_fake_chunks(gen_params, xcfg, gcfg, data, temperature,
-                                sample_rng)
+                                sample_rng, noise=sample_noise)
     gen_loss = jnp.zeros((), jnp.float32)
     dis_loss = jnp.zeros((), jnp.float32)
     gp_loss = jnp.zeros((), jnp.float32)

@@ -122,40 +122,71 @@ def init_mems(cfg: XLConfig, mem_len: int, bsz: int,
 # Parameters
 # ---------------------------------------------------------------------------
 
-def init_xl_params(cfg: XLConfig, seed: int = 0, init_std: float = 0.01
-                   ) -> dict:
-    """Initialization mirroring reference weights_init (train.py:291-350):
-    Linear/Embedding weights ~ N(0, 0.01), biases 0, LayerNorm weight
-    ~ N(1, 0.01), r_w_bias/r_r_bias ~ N(0, 0.01)."""
+def init_xl_params(cfg: XLConfig, seed: int = 0,
+                   base_init=("normal", 0.01),
+                   embed_init=("normal", 0.01)) -> dict:
+    """Initialization mirroring reference weights_init (train.py:291-350)
+    with the INITIALIZER config surface honored:
+
+    * ``base_init`` = ("normal", std) | ("uniform", range) dispatches
+      init_weight (train.py:291-297) over every Linear weight, the token
+      embedding (the reference's nn.Embedding hits the generic
+      "Embedding" classname branch -> init_weight, :325-327), and
+      r_w_bias/r_r_bias (:341-347).
+    * Biases are 0 (:308-309); LayerNorm weight ~ N(1, base_init[1])
+      unconditionally — the reference's LayerNorm branch draws normal
+      around 1.0 with std = base_init[1] even when base_init[0] is
+      "uniform" (:337-340); replicated as-is.
+    * ``embed_init`` (train.py:299-305) only ever reaches
+      AdaptiveEmbedding.emb_projs / out_projs, which exist only when
+      d_proj != d_embed — never true here (single-cutoff, d_proj ==
+      d_embed == d_model); accepted and validated for config parity, a
+      structural no-op at these shapes.
+    """
+    for name, (kind, _) in (("base_init", tuple(base_init)),
+                            ("embed_init", tuple(embed_init))):
+        if kind not in ("normal", "uniform"):
+            raise ValueError(f"INITIALIZER.{name}[0] must be 'normal' or "
+                             f"'uniform', got {kind!r}")
     rng = np.random.RandomState(seed)
+    init_kind, init_scale = base_init[0], float(base_init[1])
+
+    def weight(shape):
+        """init_weight dispatch (train.py:291-297)."""
+        if init_kind == "uniform":
+            return jnp.asarray(
+                rng.uniform(-init_scale, init_scale, size=shape),
+                dtype=jnp.float32)
+        return jnp.asarray(
+            rng.normal(0.0, init_scale, size=shape), dtype=jnp.float32)
 
     def normal(shape, mean=0.0):
         return jnp.asarray(
-            rng.normal(mean, init_std, size=shape), dtype=jnp.float32)
+            rng.normal(mean, init_scale, size=shape), dtype=jnp.float32)
 
     def zeros(shape):
         return jnp.zeros(shape, dtype=jnp.float32)
 
     d, h, dh, di = cfg.d_model, cfg.n_head, cfg.d_head, cfg.d_inner
     params: dict[str, Any] = {
-        "word_emb": normal((cfg.n_token, d)),
+        "word_emb": weight((cfg.n_token, d)),
         "crit_bias": zeros((cfg.n_token,)),
-        "r_w_bias": normal((h, dh)),
-        "r_r_bias": normal((h, dh)),
+        "r_w_bias": weight((h, dh)),
+        "r_r_bias": weight((h, dh)),
         "layers": [],
     }
     if cfg.append_note_status:
-        params["status_emb"] = normal((cfg.vec_len, d))
+        params["status_emb"] = weight((cfg.vec_len, d))
     for _ in range(cfg.n_layer):
         params["layers"].append({
-            "qkv_w": normal((d, 3 * h * dh)),
-            "r_w": normal((d, h * dh)),
-            "o_w": normal((h * dh, d)),
+            "qkv_w": weight((d, 3 * h * dh)),
+            "r_w": weight((d, h * dh)),
+            "o_w": weight((h * dh, d)),
             "attn_ln_scale": normal((d,), mean=1.0),
             "attn_ln_bias": zeros((d,)),
-            "ff_w1": normal((d, di)),
+            "ff_w1": weight((d, di)),
             "ff_b1": zeros((di,)),
-            "ff_w2": normal((di, d)),
+            "ff_w2": weight((di, d)),
             "ff_b2": zeros((d,)),
             "ff_ln_scale": normal((d,), mean=1.0),
             "ff_ln_bias": zeros((d,)),
@@ -804,10 +835,17 @@ def forward_generate(params, cfg: XLConfig, data, mems, status_vec=None, *,
     return logits, new_mems
 
 
-def gumbel_softmax_st(logits, temperature, rng, eps: float = 1e-20):
+def gumbel_softmax_st(logits, temperature, rng, eps: float = 1e-20,
+                      u=None):
     """Straight-through Gumbel-softmax (reference
-    mem_transformer.py:609-628): hard one-hot forward, soft gradient."""
-    u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
+    mem_transformer.py:609-628): hard one-hot forward, soft gradient.
+
+    ``u`` optionally injects the uniform draws (shape = logits.shape)
+    instead of drawing from ``rng`` — used by the GAN trajectory-parity
+    harness to feed BOTH frameworks identical noise (the torch reference
+    is monkeypatched to consume the same recorded stream)."""
+    if u is None:
+        u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
     g = -jnp.log(-jnp.log(u + eps) + eps)
     y = jax.nn.softmax((logits.astype(jnp.float32) + g) / temperature,
                        axis=-1)
@@ -818,7 +856,7 @@ def gumbel_softmax_st(logits, temperature, rng, eps: float = 1e-20):
 
 def forward_generate_gumbel(params, cfg: XLConfig, data, temperature, mems,
                             rng, status_vec=None, *, same_length=False,
-                            detach_mems=True, r_heads=None):
+                            detach_mems=True, r_heads=None, gumbel_u=None):
     """Gumbel-ST sampling head (reference forward_generate_gumbel,
     mem_transformer.py:602-651).
 
@@ -833,5 +871,5 @@ def forward_generate_gumbel(params, cfg: XLConfig, data, temperature, mems,
         same_length=same_length, train=False, detach_mems=detach_mems,
         r_heads=r_heads)
     logits = compute_logits(params, cfg, hidden)
-    onehot = gumbel_softmax_st(logits, temperature, rng)
+    onehot = gumbel_softmax_st(logits, temperature, rng, u=gumbel_u)
     return onehot, new_mems

@@ -392,6 +392,13 @@ def rel_attention_kv_fused_v2(w, k_mem, v_mem, r, qkv_w, r_w, r_w_bias,
     klen = mem_len + qlen
     scale = 1.0 / (d_head ** 0.5)
 
+    # The custom_vjp returns zero k_mem/v_mem cotangents by design (XL
+    # training always detaches memory). Make that contract explicit at the
+    # boundary: a future caller differentiating through memory gets a
+    # correctly-stopped gradient here instead of silent zeros from the vjp.
+    k_mem = jax.lax.stop_gradient(k_mem)
+    v_mem = jax.lax.stop_gradient(v_mem)
+
     w_heads = w @ qkv_w
     q, k_cur, v_cur = jnp.split(w_heads, 3, axis=-1)
     # [q, b, h*dh] -> [h, b, q, dh] (q-sized transposes only)

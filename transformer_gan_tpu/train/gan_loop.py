@@ -244,8 +244,11 @@ class GanPhases:
         dis_cfg, disD_cfg = self.dis_cfg, self.disD_cfg
         bc = gcfg.batch_chunk
         scale = 1.0 / (gcfg.batch_chunk * gcfg.sample_chunks_mem)
-        # vmap micro-chunks (one wide sampling scan) unless PPO chains P0
-        par = bool(getattr(cfg.TPU, "gan_parallel_chunks", True))
+        # vmap micro-chunks (one wide sampling scan) unless PPO chains P0.
+        # The getattr fallback matches the declared config default (False):
+        # a stale config snapshot without the key must NOT activate the
+        # vmap path, which OOMs the gen backward at real op-points.
+        par = bool(getattr(cfg.TPU, "gan_parallel_chunks", False))
         par_gen = par and not gcfg.ppo
 
         def chunk_data(data):
@@ -255,10 +258,11 @@ class GanPhases:
         self._chunk_data = chunk_data
 
         # ---------- discriminator phase ----------
-        def dis_loss_fn(dis_params, gen_params, d, temp, rng):
+        def dis_loss_fn(dis_params, gen_params, d, temp, rng, noise=None):
             losses, _ = gan_mod.gan_losses_for_batch(
                 jax.lax.stop_gradient(gen_params), dis_params, dis_cfg,
-                xcfg, gcfg, d, temp, rng, train_dis=True)
+                xcfg, gcfg, d, temp, rng, train_dis=True,
+                sample_noise=noise)
             total = (losses["dis_loss"] + losses["gp_loss"]) * \
                 gcfg.dis_loss_factor * scale
             return total, losses
@@ -266,10 +270,14 @@ class GanPhases:
         dis_grad = jax.grad(dis_loss_fn, has_aux=True)
 
         def dis_step(gen_params, dis_params, dis_opt_state, data_c, temp,
-                     rng):
+                     rng, noise_c=None):
+            # noise_c: optional [bc, n_steps, bsz_c, V] injected gumbel
+            # draws (trajectory-parity harness; scan path only)
             rngs = jax.random.split(rng, bc)
 
             if par:
+                assert noise_c is None, (
+                    "noise injection requires the sequential chunk scan")
                 grads_c, losses_c = jax.vmap(
                     dis_grad, in_axes=(None, None, 0, None, 0))(
                         dis_params, gen_params, data_c, temp, rngs)
@@ -279,18 +287,23 @@ class GanPhases:
             else:
                 def body(carry, xs):
                     grads_acc, dsum, gsum = carry
-                    d, rng_c = xs
+                    if noise_c is None:
+                        d, rng_c = xs
+                        n_c = None
+                    else:
+                        d, rng_c, n_c = xs
                     grads, losses = dis_grad(dis_params, gen_params, d,
-                                             temp, rng_c)
+                                             temp, rng_c, n_c)
                     grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                     return (grads_acc,
                             dsum + losses["dis_loss"],
                             gsum + losses["gp_loss"]), None
 
+                xs = ((data_c, rngs) if noise_c is None
+                      else (data_c, rngs, noise_c))
                 zero = jax.tree.map(jnp.zeros_like, dis_params)
                 (grads, dsum, gsum), _ = jax.lax.scan(
-                    body, (zero, jnp.zeros(()), jnp.zeros(())),
-                    (data_c, rngs))
+                    body, (zero, jnp.zeros(()), jnp.zeros(())), xs)
             updates, new_opt = self.dis_optimizer.update(
                 grads, dis_opt_state, dis_params)
             new_params = optax.apply_updates(dis_params, updates)
@@ -300,25 +313,28 @@ class GanPhases:
 
         # ---------- generator phase ----------
         def gen_loss_fn(gen_params, dis_params, disD_params, d, temp, rng,
-                        P0, update_P0):
+                        P0, update_P0, noise=None):
             losses, newP0 = gan_mod.gan_losses_for_batch(
                 gen_params, jax.lax.stop_gradient(dis_params), dis_cfg,
                 xcfg, gcfg, d, temp, rng, train_dis=False,
                 disD_params=disD_params, disD_cfg=disD_cfg, P0=P0,
-                update_P0=update_P0)
+                update_P0=update_P0, sample_noise=noise)
             total = losses["gen_loss"] * gcfg.gen_loss_factor * scale
             return total, (losses, newP0)
 
         def make_gen_step(update_P0):
             gen_grad = jax.grad(
-                lambda gp, dp, ddp, d, t, r, P0: gen_loss_fn(
-                    gp, dp, ddp, d, t, r, P0, update_P0), has_aux=True)
+                lambda gp, dp, ddp, d, t, r, P0, n=None: gen_loss_fn(
+                    gp, dp, ddp, d, t, r, P0, update_P0, n), has_aux=True)
 
             def gen_step(gen_params, gen_opt_state, dis_params, disD_params,
-                         data_c, temp, rng, P0):
+                         data_c, temp, rng, P0, noise_c=None):
                 rngs = jax.random.split(rng, bc)
 
                 if par_gen:
+                    assert noise_c is None, (
+                        "noise injection requires the sequential chunk "
+                        "scan")
                     grads_c, (losses_c, _) = jax.vmap(
                         gen_grad,
                         in_axes=(None, None, None, 0, None, 0, None))(
@@ -330,17 +346,23 @@ class GanPhases:
                 else:
                     def body(carry, xs):
                         grads_acc, gsum, P0c = carry
-                        d, rng_c = xs
+                        if noise_c is None:
+                            d, rng_c = xs
+                            n_c = None
+                        else:
+                            d, rng_c, n_c = xs
                         grads, (losses, newP0) = gen_grad(
                             gen_params, dis_params, disD_params, d, temp,
-                            rng_c, P0c)
+                            rng_c, P0c, n_c)
                         grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                         return (grads_acc, gsum + losses["gen_loss"],
                                 newP0), None
 
+                    xs = ((data_c, rngs) if noise_c is None
+                          else (data_c, rngs, noise_c))
                     zero = jax.tree.map(jnp.zeros_like, gen_params)
                     (grads, gsum, newP0), _ = jax.lax.scan(
-                        body, (zero, jnp.zeros(()), P0), (data_c, rngs))
+                        body, (zero, jnp.zeros(()), P0), xs)
                 updates, new_opt = self.gen_optimizer.update(
                     grads, gen_opt_state, gen_params)
                 new_params = optax.apply_updates(gen_params, updates)
@@ -390,9 +412,11 @@ class GanPhases:
         self.rng, r = jax.random.split(self.rng)
         return r
 
-    def dis_phase(self, train_step_num: int = 0):
+    def dis_phase(self, train_step_num: int = 0, noise=None):
         """Reference train.py:924-1014: dis_steps optimizer updates over
-        fresh real batches (no-op when the discriminator is frozen)."""
+        fresh real batches (no-op when the discriminator is frozen).
+        ``noise``: optional injected gumbel draws [bc, n_steps, bsz_c, V]
+        (trajectory-parity harness)."""
         if self.dis_optimizer is None:
             return
         t0 = time.perf_counter()
@@ -403,13 +427,13 @@ class GanPhases:
             self.dis_params, self.dis_opt_state, dloss, gp = self._dis_step(
                 self.trainer.state.params, self.dis_params,
                 self.dis_opt_state, data_c, self.temperature,
-                self._split_rng())
+                self._split_rng(), noise)
             self.log_dis_loss += float(dloss)
             self.log_dis_num += self.gcfg.batch_chunk
         logging.info("dis_phase step %d: %.2fs", train_step_num,
                      time.perf_counter() - t0)
 
-    def gen_phase(self, train_step_num: int):
+    def gen_phase(self, train_step_num: int, noise=None):
         """Reference train.py:1016-1090: optional PPO classifier update,
         then the adversarial generator update."""
         t0 = time.perf_counter()
@@ -430,7 +454,7 @@ class GanPhases:
         new_params, self.gen_opt_state, gloss, self.P0 = gen_step(
             self.trainer.state.params, self.gen_opt_state, self.dis_params,
             self.disD_params, data_c, self.temperature, self._split_rng(),
-            self.P0)
+            self.P0, noise)
         self.P0_initialized = True
         self.trainer.state = self.trainer.state._replace(params=new_params)
         self.log_gen_loss += float(gloss)

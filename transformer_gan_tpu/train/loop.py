@@ -100,7 +100,10 @@ class Trainer:
         # ---- model / optimizer (reference train.py:366-459) ----
         self.xcfg = xl.XLConfig.from_cfg(cfg, len(self.vocab),
                                          self.vocab.vec_len)
-        params = xl.init_xl_params(self.xcfg, seed=seed)
+        params = xl.init_xl_params(
+            self.xcfg, seed=seed,
+            base_init=tuple(cfg.INITIALIZER.base_init),
+            embed_init=tuple(cfg.INITIALIZER.embed_init))
 
         # reference: per-rank lr = global lr / num_gpus (train.py:392)
         self.local_lr = cfg.TRAIN.lr / max(1, int(self.n_devices))
@@ -228,9 +231,16 @@ class Trainer:
         cfg = self.cfg
         # accumulate on device, fetch once after the loop (a per-batch
         # float() costs a full dispatch+fetch round trip on the
-        # tunnel-backed TPU runtime and serializes batch dispatch)
+        # tunnel-backed TPU runtime and serializes batch dispatch).
+        # The NLL total uses Kahan compensation: a long eval sums many
+        # ~1e4-sized per-batch nll_sums into one fp32 scalar, and the
+        # reference accumulated in host float64 (train.py:766-779); the
+        # compensated fp32 pair keeps the total's error at the one-ulp
+        # level without a per-batch host fetch. Token counts stay int32:
+        # 2^31 tokens per eval pass is far beyond any real split here.
         total_token_num = jnp.zeros((), jnp.int32)
         total_nll = jnp.zeros((), jnp.float32)
+        nll_comp = jnp.zeros((), jnp.float32)  # Kahan compensation term
         mems = xl.init_mems(self.xcfg, cfg.EVALUATE.mem_length,
                             cfg.EVALUATE.batch_size)
         shard_eval = (self.multi_device
@@ -251,7 +261,10 @@ class Trainer:
                       else None)
             nll_sum, cnt, mems = self.eval_step_fn(
                 self.state.params, data, target, mems, sv)
-            total_nll = total_nll + nll_sum
+            y = nll_sum - nll_comp
+            t = total_nll + y
+            nll_comp = (t - total_nll) - y
+            total_nll = t
             total_token_num = total_token_num + cnt
 
         results = self._generation_metrics(mode)
@@ -418,6 +431,36 @@ class Trainer:
                 logging.info("-" * 100)
                 logging.info("End of training")
                 break
+
+    # ------------------------------------------------------------------
+    def final_best_eval(self) -> float:
+        """Post-training best-checkpoint test evaluation (reference
+        train.py:1337-1371): reload checkpoint_best's generator and run
+        the test eval, logging the end-of-training line the paper's
+        tables are built from. The reference rebuilds the model with
+        DISCRIMINATOR=Null and same_length=True; here neither needs a
+        rebuild — the masked-NLL eval never touches the discriminator,
+        and make_eval_step always applies the same_length banded mask."""
+        best = os.path.join(self.work_dir, "checkpoint_best")
+        if os.path.isdir(best):
+            payload = ckpt.load_checkpoint(best, self._ckpt_payload())
+            self.state = self.state._replace(params=payload["params"])
+        else:
+            # debug runs write no checkpoints (reference would crash on
+            # the missing file); fall back to the live weights
+            logging.warning(
+                "checkpoint_best not found under %s; final test eval uses "
+                "the current (last-step) weights", self.work_dir)
+        tok, nll, _ = self.evaluate(self.test_iter, mode="test")
+        tok, nll = self._all_reduce_eval(tok, nll)
+        test_nll = nll / max(tok, 1.0)
+        if self.process_index == 0:
+            logging.info("=" * 100)
+            logging.info(
+                "| End of training | test nll %5.2f | test ppl %9.3f",
+                test_nll, math.exp(min(test_nll, 50.0)))
+            logging.info("=" * 100)
+        return test_nll
 
     # ------------------------------------------------------------------
     def _eval_and_checkpoint(self):

@@ -194,7 +194,16 @@ def make_optimizer(optim_name: str, base_lr: float, schedule,
     per-leaf chain costs ~10-20 small ops per leaf x 70 leaves — measured
     53ms of a 137ms training step (profile_mle.py) — because each op pays
     ~15-30us of issue latency; the fused update is a handful of [P]-wide
-    ops."""
+    ops.
+
+    CHECKPOINT SCHEMA NOTE: fused=True stores FusedOptState (flat [P]
+    mu/nu vectors) while fused=False stores the per-leaf optax chain
+    state. Checkpoints written under one schema do not restore into the
+    other (orbax restores against the live template). Both schemas encode
+    identical Adam/LAMB moments, so a converter is mechanical
+    (ravel/unravel in param traversal order) — but none is shipped: the
+    repo has no pre-fused production checkpoints to migrate. Pin
+    ``fused`` for the lifetime of a run you intend to restart."""
     if fused:
         return make_fused_optimizer(optim_name, base_lr, schedule, clip,
                                     weight_decay)
