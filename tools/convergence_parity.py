@@ -109,7 +109,8 @@ def make_cfg():
     return cfg
 
 
-def run_ours(train_batches, val_batches, pad_id, eval_every):
+def run_ours(train_batches, val_batches, pad_id, eval_every,
+             optim="adam"):
     import jax
     import jax.numpy as jnp
 
@@ -123,7 +124,10 @@ def run_ours(train_batches, val_batches, pad_id, eval_every):
 
     sched = topt.make_schedule("inv_sqrt", LR, len(train_batches), LR_MIN,
                                WARMUP)
-    optimizer = topt.make_optimizer("adam", LR, sched, CLIP)
+    # make_optimizer defaults to the FUSED [P]-vector update — the
+    # production path, so LAMB parity here covers the fused segment-sum
+    # trust ratios against the reference model/lamb.py directly
+    optimizer = topt.make_optimizer(optim, LR, sched, CLIP)
     state = tstep.init_train_state(params, optimizer, xcfg, BC, MEM,
                                    BSZ // BC, seed=0)
     step_fn = tstep.make_mle_train_step(xcfg, optimizer, BC, pad_id,
@@ -160,7 +164,7 @@ def run_ours(train_batches, val_batches, pad_id, eval_every):
 # ---------------------------------------------------------------------------
 
 def run_reference(train_batches, val_batches, pad_id, eval_every,
-                  init_params):
+                  init_params, optim="adam"):
     import torch
     sys.path.insert(0, os.path.join(REF, "model"))
     from mem_transformer import MemTransformerLM
@@ -175,7 +179,13 @@ def run_reference(train_batches, val_batches, pad_id, eval_every,
     _copy_params_to_torch(init_params, model)
     model.train()
 
-    optimizer = torch.optim.Adam(model.parameters(), lr=LR)
+    if optim == "lamb":
+        # the ACTUAL reference optimizer, deprecated add_ call order and
+        # all (model/lamb.py:52-118; train.py:396-398)
+        import lamb as ref_lamb
+        optimizer = ref_lamb.Lamb(model.parameters(), lr=LR)
+    else:
+        optimizer = torch.optim.Adam(model.parameters(), lr=LR)
 
     def lr_lambda(step):
         # reference train.py:469-486
@@ -233,16 +243,16 @@ def run_reference(train_batches, val_batches, pad_id, eval_every,
     return train_nll, val_nll
 
 
-def run_comparison(n_steps=150, eval_every=25, seed=0):
+def run_comparison(n_steps=150, eval_every=25, seed=0, optim="adam"):
     train_pieces, val_pieces = make_corpus(seed)
     train_batches, val_batches, pad_id = record_batches(
         train_pieces, val_pieces, n_steps)
     ours_train, ours_val, init_params = run_ours(
-        train_batches, val_batches, pad_id, eval_every)
+        train_batches, val_batches, pad_id, eval_every, optim)
     ref_train, ref_val = run_reference(
-        train_batches, val_batches, pad_id, eval_every, init_params)
+        train_batches, val_batches, pad_id, eval_every, init_params, optim)
     return {
-        "steps": n_steps, "eval_every": eval_every,
+        "steps": n_steps, "eval_every": eval_every, "optim": optim,
         "ours_train": ours_train, "ref_train": ref_train,
         "ours_val": ours_val, "ref_val": ref_val,
     }
