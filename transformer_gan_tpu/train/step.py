@@ -62,10 +62,24 @@ def chunk_rows(x, batch_chunk: int):
     return x.reshape(batch_chunk, -1)
 
 
+def _auto_layout_format():
+    """The AUTO entry-layout marker across jax.experimental.layout API
+    generations (Format(Layout.AUTO) on newer jax, Layout(DLL.AUTO) on
+    older)."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        return Format(Layout.AUTO)
+    except ImportError:
+        from jax.experimental.layout import (DeviceLocalLayout,
+                                             Layout)
+        return Layout(DeviceLocalLayout.AUTO)
+
+
 def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
                         pad_id: int, use_mle: bool = True,
                         remat: bool = False, donate: bool = True,
-                        same_length: bool = False):
+                        same_length: bool = False,
+                        auto_mems_layout: bool = False):
     """Build the jitted MLE step.
 
     Returns fn(state, data [C,tgt,bsz_c], target [C,tgt,bsz_c],
@@ -73,6 +87,15 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
     host with ``chunk_batch``/``chunk_rows``. Loss semantics match reference
     train.py:888-904: per-chunk pad-masked mean scaled by 1/batch_chunk,
     gradients summed over chunks.
+
+    ``auto_mems_layout``: let XLA choose the ENTRY layout of the donated
+    mems carry (AUTO in/out layout on state.mems.hids) instead of the
+    default-layout entry — targeting the ~3 GB/step of re-layout copies
+    the layout assigner otherwise inserts around the ring update
+    (PERF.md "Known residual overheads"). Call sites must then
+    device_put the initial ``state.mems.hids`` with the compiled input
+    format (``fn.lower(...).compile()``); the status_vec variant is not
+    supported with this knob.
     """
 
     def chunk_loss(params, data_c, target_c, reset_c, mems_c, rng_c,
@@ -147,7 +170,18 @@ def make_mle_train_step(xcfg: xl.XLConfig, optimizer, batch_chunk: int,
         }
         return new_state, metrics
 
-    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if auto_mems_layout:
+        fmt = _auto_layout_format()
+        state_l = TrainState(params=None, opt_state=None,
+                             mems=xl.XLMems(hids=fmt, count=None),
+                             rng=None, step=None)
+        in_l = (state_l, None, None, None, None)
+        out_l = (state_l, None)
+        jitted = jax.jit(train_step,
+                         donate_argnums=(0,) if donate else (),
+                         in_shardings=in_l, out_shardings=out_l)
+    else:
+        jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def call(state: TrainState, *args):
         return jitted(state._replace(opt_state=None), state.opt_state,
