@@ -346,6 +346,23 @@ def main():
             out.update(fn(on_tpu))
         except Exception as e:  # never break the primary metric
             out[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # The north-star BASELINE.json names ("XL+GAN on Maestro"): amortized
+    # training tokens/s at the spanbert adversarial config — MLE steps
+    # plus the freq-5 dis/gen phases (dis_loss_freq = gen_loss_freq = 5,
+    # dis_steps 1, experiment_spanbert.yml) — from the measured step and
+    # phase times above.
+    if "gan_gen_step_ms" in out and "gan_dis_step_ms" in out and on_tpu:
+        bsz, tgt, freq = 128, 128, 5
+        mle_step_s = bsz * tgt / out["value"]
+        block_s = (freq * mle_step_s
+                   + out["gan_dis_step_ms"] / 1e3
+                   + out["gan_gen_step_ms"] / 1e3)
+        out["gan_config_tokens_per_s"] = round(
+            freq * bsz * tgt / block_s, 1)
+        out["gan_config_basis"] = (
+            "MLE tokens over wall-clock incl. freq-5 dis+gen phases "
+            "(spanbert op-point), from measured step/phase times")
     print(json.dumps(out))
 
 
