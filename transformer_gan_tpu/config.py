@@ -313,6 +313,12 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     # forces the small-shape oracle scan (debug / equivalence runs);
     # "chunked" forces the cache even where auto would not pick it.
     cfg.TPU.gan_decode_cache = "auto"
+    # Forward-only fused decode kernel for the no-grad sampling inside
+    # dis/clf phases (ops/pallas_decode.py): "auto" uses it whenever the
+    # chunked cache is active and shapes qualify; "off" forces the jnp
+    # scan; "on" asserts the fused path is taken. Sample-exact vs the
+    # jnp path (same rng stream, hard argmax forward value).
+    cfg.TPU.gan_fused_decode = "auto"
     cfg.TPU.donate = True
     cfg.TPU.profile_dir = ""            # jax.profiler trace dir ("" = off)
     return cfg

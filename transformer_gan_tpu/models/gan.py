@@ -59,6 +59,11 @@ class GanConfig:
     ppo_dis_type: str = "bert"
     clip_param: float = 0.4
     n_token: int = 310
+    # forward-only fused decode kernel (ops/pallas_decode.py) for the
+    # no-grad sampling inside dis/clf phases: "auto" uses it whenever the
+    # chunked path is active and shapes qualify; "off" forces the jnp
+    # scan (debug/oracle); "on" asserts it is used
+    fused_sampler: str = "auto"
 
     @property
     def sample_len(self) -> int:
@@ -86,6 +91,8 @@ class GanConfig:
             clip_param=cfg.PPO.clip_param,
             n_token=n_token,
             decode_cache=str(getattr(cfg.TPU, "gan_decode_cache", "auto")),
+            fused_sampler=str(getattr(cfg.TPU, "gan_fused_decode",
+                                      "auto")),
         )
 
 
@@ -228,6 +235,117 @@ def gen_scan_chunked(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     return samples, state, prev
 
 
+def gen_scan_chunked_fused(stacked, xcfg: xl.XLConfig, gcfg: GanConfig,
+                           K, Vb, R, count, prev_ids, n_steps, rng):
+    """Forward-only ``gen_scan_chunked`` on the fused all-layer decode
+    kernel (ops/pallas_decode.py): the whole per-token forward — embed,
+    every layer, logits, gumbel argmax — is ONE kernel launch, so the
+    scan body has no small-op issue-latency tail.
+
+    Sample-exact vs the jnp path: identical rng split structure, the
+    gumbel noise is pre-transformed by XLA (g = -log(-log(u+eps)+eps)
+    with the same per-step keys and [1, bsz, V] draw shape as
+    gumbel_softmax_st), and the straight-through forward value IS the
+    hard argmax one-hot, so sampled ids match id-for-id (temperature
+    cancels in the argmax and is not needed).
+
+    K/Vb [L, b, M, h*dh] stacked big cache; R [L, M+1, h*dh]; prev_ids
+    [b, 1] int32. Returns (samples [n, b, V] fp32, K', Vb', count',
+    last_ids).
+    """
+    from ..ops import pallas_decode as pdec
+    L, bsz, M, hd = K.shape
+    V = gcfg.n_token
+    C = min(GEN_DECODE_CHUNK, n_steps)
+    rngs = jax.random.split(rng, n_steps)
+    eps = 1e-20
+
+    def g_of(r):
+        u = jax.random.uniform(r, (1, bsz, V), dtype=jnp.float32)[0]
+        return -jnp.log(-jnp.log(u + eps) + eps)
+
+    g_all = jax.vmap(g_of)(rngs)                        # [n, bsz, V]
+
+    def run_chunk(K, Vb, count, ids, g_c, n):
+        sk0 = jnp.zeros((L, bsz, C, hd), K.dtype)
+        sv0 = jnp.zeros_like(sk0)
+        sc = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32),
+             jnp.full((n,), count.astype(jnp.int32))], axis=1)
+
+        def body(carry, xs):
+            ids, sk, sv = carry
+            sc_t, g_t = xs
+            ids, oh, sk, sv = pdec.fused_decode_step(
+                stacked, xcfg, K, Vb, R, sk, sv, ids, g_t, sc_t)
+            return (ids, sk, sv), oh
+
+        (ids, sk, sv), oh = jax.lax.scan(body, (ids, sk0, sv0),
+                                         (sc, g_c))
+        return ids, sk, sv, oh
+
+    n_full, rem = divmod(n_steps, C)
+    pieces = []
+    ids = prev_ids
+    if n_full:
+        def outer(carry, g_c):
+            ids, K, Vb, count = carry
+            ids, sk, sv, oh = run_chunk(K, Vb, count, ids, g_c, C)
+            K = jnp.concatenate([K[:, :, C:], sk], axis=2)
+            Vb = jnp.concatenate([Vb[:, :, C:], sv], axis=2)
+            return (ids, K, Vb, jnp.minimum(count + C, M)), oh
+
+        (ids, K, Vb, count), oh = jax.lax.scan(
+            outer, (ids, K, Vb, count),
+            g_all[:n_full * C].reshape(n_full, C, bsz, V))
+        pieces.append(oh.reshape(n_full * C, bsz, V))
+    if rem:
+        ids, sk, sv, oh = run_chunk(K, Vb, count, ids,
+                                    g_all[n_full * C:], rem)
+        K = jnp.concatenate([K[:, :, rem:], sk[:, :, :rem]], axis=2)
+        Vb = jnp.concatenate([Vb[:, :, rem:], sv[:, :, :rem]], axis=2)
+        count = jnp.minimum(count + rem, M)
+        pieces.append(oh)
+    samples = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    return samples, K, Vb, count, ids
+
+
+def _sample_fake_chunks_fused(gen_params, xcfg: xl.XLConfig,
+                              gcfg: GanConfig, data, rng):
+    """``sample_fake_chunks`` on the fused decode kernel (forward-only
+    callers: dis/clf phases detach the generator, so no gradients flow
+    through sampling there). Chunk structure, seeds, and rng consumption
+    mirror the jnp path exactly."""
+    bsz = data.shape[1]
+    V = gcfg.n_token
+    from ..ops import pallas_decode as pdec
+    state = prime_context_state(gen_params, xcfg, gcfg, data)
+    K = jnp.stack([k for k, _ in state.kv])
+    Vb = jnp.stack([v for _, v in state.kv])
+    hd = xcfg.n_head * xcfg.d_head
+    R = state.r_heads.reshape(xcfg.n_layer, gcfg.mem_len + 1, hd)
+    count = state.count
+    stacked = pdec.stack_decode_params(gen_params, xcfg)
+    rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
+
+    chunks = []
+    ctx = gcfg.context_len
+    real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
+    ids = data[ctx - 1].astype(jnp.int32)[:, None]
+    n_gen0 = gcfg.sample_len - ctx
+    samples0, K, Vb, count, ids = gen_scan_chunked_fused(
+        stacked, xcfg, gcfg, K, Vb, R, count, ids, n_gen0, rngs[0])
+    chunks.append((jnp.concatenate([real_ctx, samples0], axis=0),
+                   data[0:gcfg.sample_len]))
+    for c in range(1, gcfg.sample_chunks_mem):
+        samples, K, Vb, count, ids = gen_scan_chunked_fused(
+            stacked, xcfg, gcfg, K, Vb, R, count, ids, gcfg.sample_len,
+            rngs[c])
+        start = c * gcfg.sample_len
+        chunks.append((samples, data[start:start + gcfg.sample_len]))
+    return chunks
+
+
 def prime_context_state(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
                         data) -> xl.DecodeState:
     """``prime_context`` for the chunked path: no-grad context prime, then
@@ -239,7 +357,8 @@ def prime_context_state(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
 
 
 def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
-                       data, temperature, rng, noise=None):
+                       data, temperature, rng, noise=None,
+                       forward_only: bool = False):
     """Produce the per-chunk fake sequences for one GAN batch.
 
     data: [tgt_len, bsz] real ids. Returns a list of
@@ -253,6 +372,11 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
     ``noise``: optional [tgt_len - context_len, bsz, V] uniform gumbel
     draws consumed in sampling order (trajectory-parity harness; rolling
     path only).
+
+    ``forward_only``: the caller will not differentiate through the
+    samples (dis/clf phases detach the generator). Routes the sampling
+    scan onto the fused all-layer decode kernel when shapes qualify
+    (sample-exact, ~10x fewer ops per token — see ops/pallas_decode.py).
     """
     bsz = data.shape[1]
     V = gcfg.n_token
@@ -263,6 +387,19 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
         raise NotImplementedError(
             "gumbel-noise injection is supported on the rolling oracle "
             "path only (set decode_cache='rolling' / cache_kv=False)")
+    if chunked and noise is None and gcfg.fused_sampler != "off":
+        from ..ops import pallas_decode as pdec
+        C = min(GEN_DECODE_CHUNK, gcfg.sample_len)
+        ok = (forward_only and pdec.supports_fused_decode(
+            xcfg, bsz, gcfg.mem_len, C))
+        if gcfg.fused_sampler == "on" and forward_only and not ok:
+            raise ValueError(
+                "fused_sampler='on' but the fused decode path does not "
+                "apply to this forward-only call (needs cache_kv + "
+                "use_pallas + qualifying shapes)")
+        if ok:
+            return _sample_fake_chunks_fused(gen_params, xcfg, gcfg,
+                                             data, rng)
     if chunked:
         mems = prime_context_state(gen_params, xcfg, gcfg, data)
     else:
@@ -444,8 +581,11 @@ def gan_losses_for_batch(gen_params, dis_params, dis_cfg, xcfg, gcfg,
     draws through to sample_fake_chunks (trajectory-parity harness).
     """
     rng, sample_rng = jax.random.split(rng)
+    # train_dis: the fake is detached below, so sampling is forward-only
+    # and can run on the fused decode kernel
     chunks = sample_fake_chunks(gen_params, xcfg, gcfg, data, temperature,
-                                sample_rng, noise=sample_noise)
+                                sample_rng, noise=sample_noise,
+                                forward_only=train_dis)
     gen_loss = jnp.zeros((), jnp.float32)
     dis_loss = jnp.zeros((), jnp.float32)
     gp_loss = jnp.zeros((), jnp.float32)
@@ -479,7 +619,7 @@ def classifier_loss_for_batch(gen_params, disD_params, disD_cfg, xcfg, gcfg,
     rng, sample_rng = jax.random.split(rng)
     chunks = sample_fake_chunks(
         jax.lax.stop_gradient(gen_params), xcfg, gcfg, data, temperature,
-        sample_rng)
+        sample_rng, forward_only=True)
     total = jnp.zeros((), jnp.float32)
     for fake_chunk, real_ids in chunks:
         pr = jax.nn.sigmoid(dis_D_forward(disD_params, disD_cfg, gcfg,
