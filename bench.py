@@ -175,6 +175,8 @@ def bench_mle(on_tpu: bool, batch_chunk: int = 1,
 
 def bench_gan(on_tpu: bool) -> dict:
     """gen/dis phase steps at the spanbert op-point (per chip)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -281,10 +283,20 @@ def bench_gan(on_tpu: bool) -> dict:
                                dis_opt_state)
     gen_t, gen_params = timeit(gen_step, gen_params, dis_params,
                                gen_opt_state)
+
+    # truncate_backprop gen phase: sample-then-batched-recompute path
+    # (reference experiment_baseline.yml option; exact gradients, no
+    # per-token serialized backward — see PERF.md)
+    gcfg = dataclasses.replace(gcfg, truncate_backprop=True)
+    gen_step_tr = make_phase(gen_loss_fn, gen_opt)
+    gen_tr_t, _ = timeit(gen_step_tr, gen_params, dis_params,
+                         gen_opt.init(gen_params))
+
     sampled = bsz * (gcfg.tgt_len - gcfg.context_len
                      - (gcfg.sample_chunks_mem - 1))
     return {
         "gan_gen_step_ms": round(gen_t * 1e3, 2),
+        "gan_gen_step_truncated_ms": round(gen_tr_t * 1e3, 2),
         "gan_dis_step_ms": round(dis_t * 1e3, 2),
         "gan_sample_tokens_per_s": round(sampled / gen_t, 1),
     }

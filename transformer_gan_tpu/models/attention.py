@@ -112,7 +112,8 @@ def rel_attention_kv(w: jnp.ndarray,
                      *,
                      softmax_dtype=jnp.float32,
                      dropatt_rng=None,
-                     dropatt_rate: float = 0.0):
+                     dropatt_rate: float = 0.0,
+                     detach_kv_cross: bool = False):
     """K/V-cached XL attention: memory holds projected keys/values.
 
     XL keys/values are position-independent (relative position enters only
@@ -127,6 +128,16 @@ def rel_attention_kv(w: jnp.ndarray,
     blocks directly with no transpose)
     Returns (attn_vec [qlen, bsz, n_head*d_head],
              k_cur [n_head, bsz, qlen, d_head], v_cur likewise).
+
+    ``detach_kv_cross``: reproduce the incremental-decoding gradient
+    contract (decode_chunk_step with detach_kv_writes=True, which mirrors
+    the reference's unconditional mems detach in _update_mems,
+    mem_transformer.py:461-482) inside this batched pass: every K/V lane
+    is stop-gradient'ed EXCEPT query i's own lane (mem_len + i), which
+    stays live — gradient reaches the current token's K/V exactly once.
+    The positional (BD) term is live on every lane, as in the decode
+    scan. Used by the truncate_backprop GAN gen-phase recompute
+    (models/gan.py _sample_fake_chunks_recompute).
     """
     qlen, bsz = w.shape[0], w.shape[1]
     mem_len = k_mem.shape[2]
@@ -149,8 +160,28 @@ def rel_attention_kv(w: jnp.ndarray,
     else:
         r_head_k = (r @ r_w).reshape(klen, n_head, d_head)
 
+    if detach_kv_cross:
+        k_used = jax.lax.stop_gradient(k)
+        v_used = jax.lax.stop_gradient(v)
+    else:
+        k_used, v_used = k, v
+
     rw_q = q + r_w_bias.astype(q.dtype)[None, :, None, :]
-    AC = rw_q @ k.transpose(0, 1, 3, 2)           # [b, h, qlen, klen]
+    AC = rw_q @ k_used.transpose(0, 1, 3, 2)      # [b, h, qlen, klen]
+    if detach_kv_cross:
+        # live self lane: forward-neutral correction adding the live-k
+        # gradient path on lane mem_len + i only. sg(rw_q) — the q-side
+        # gradient already flows through the main AC product (q is live
+        # on every lane); a live q here would double-count it.
+        self_ac = jnp.sum(jax.lax.stop_gradient(rw_q) * k_cur,
+                          axis=-1)                # [b, h, qlen]
+        self_ac = self_ac - jax.lax.stop_gradient(self_ac)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, qlen, klen), 3)
+        diag = (lane == (mem_len
+                         + jnp.arange(qlen)[None, None, :, None]))
+        AC = AC + jnp.where(diag, self_ac[..., None],
+                            jnp.zeros((), AC.dtype))
     rr_q = q + r_r_bias.astype(q.dtype)[None, :, None, :]
     BD = jnp.einsum("bhid,jhd->bhij", rr_q, r_head_k.astype(q.dtype))
     BD = rel_shift(BD)
@@ -165,7 +196,18 @@ def rel_attention_kv(w: jnp.ndarray,
                                     attn_prob.shape)
         attn_prob = jnp.where(keep, attn_prob / (1.0 - dropatt_rate), 0.0)
 
-    ctx = attn_prob.astype(v.dtype) @ v           # [b, h, qlen, d]
+    ctx = attn_prob.astype(v.dtype) @ v_used      # [b, h, qlen, d]
+    if detach_kv_cross:
+        # live self lane for V: ctx_i += p_[i, self] * (v_i - sg(v_i))
+        # sg(p): the p-side gradient already flows through the main
+        # P @ sg(V) product; v_live's forward value is zero so a live p
+        # here would contribute nothing but a dead graph edge anyway
+        diag_p = jax.lax.stop_gradient(jnp.sum(
+            jnp.where(diag, attn_prob,
+                      jnp.zeros((), attn_prob.dtype)),
+            axis=3)).astype(v.dtype)              # [b, h, qlen]
+        v_live = v_cur - jax.lax.stop_gradient(v_cur)
+        ctx = ctx + diag_p[..., None] * v_live
     attn_vec = ctx.transpose(2, 0, 1, 3).reshape(qlen, bsz,
                                                  n_head * d_head)
     return (attn_vec, k_cur.transpose(1, 0, 2, 3),

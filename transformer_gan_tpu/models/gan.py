@@ -346,6 +346,78 @@ def _sample_fake_chunks_fused(gen_params, xcfg: xl.XLConfig,
     return chunks
 
 
+def _sample_fake_chunks_recompute(gen_params, xcfg: xl.XLConfig,
+                                  gcfg: GanConfig, data, temperature, rng):
+    """Differentiable ``sample_fake_chunks`` for truncate_backprop: sample
+    the trajectory forward-only (fused kernel when shapes qualify), then
+    recompute logits for ALL positions in one batched pass per chunk
+    (xl.decode_recompute_window) and rebuild the straight-through
+    one-hots from the same gumbel draws.
+
+    With truncate_backprop every step's input is detached (reference
+    transformer_gan.py:308-320), so the sample chain carries no gradient
+    and the batched recompute's loss AND gradients equal the sequential
+    jnp scan's exactly (tests/test_gan_recompute.py) — without the
+    per-token serialized backward that dominates the gen phase.
+
+    rng consumption mirrors the sampling paths id-for-id (same per-chunk
+    split, same per-step (1, bsz, V) uniform draws), and the hard forward
+    values are the SAMPLER's one-hots, so the trajectory is identical by
+    construction."""
+    bsz = data.shape[1]
+    V = gcfg.n_token
+    eps = 1e-20
+    hard_chunks = sample_fake_chunks(
+        jax.lax.stop_gradient(gen_params), xcfg, gcfg, data, temperature,
+        rng, forward_only=True)
+
+    state = prime_context_state(gen_params, xcfg, gcfg, data)
+    M = gcfg.mem_len
+    h, dh = xcfg.n_head, xcfg.d_head
+
+    def hmajor(a):  # [b, M, h*dh] -> [h, b, M, dh]
+        a = a[:, :M]          # fused-rows layout: drop positional rows
+        return a.reshape(bsz, M, h, dh).transpose(2, 0, 1, 3)
+
+    k_mem = [jax.lax.stop_gradient(hmajor(k)) for k, _ in state.kv]
+    v_mem = [jax.lax.stop_gradient(hmajor(v)) for _, v in state.kv]
+    count = state.count
+    ctx = gcfg.context_len
+    rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
+
+    chunks = []
+    prev_hard = jax.nn.one_hot(data[ctx - 1], V, dtype=jnp.float32)
+    for c in range(gcfg.sample_chunks_mem):
+        if c == 0:
+            n = gcfg.sample_len - ctx
+            hard = hard_chunks[0][0][ctx:]
+        else:
+            n = gcfg.sample_len
+            hard = hard_chunks[c][0]
+        hard = jax.lax.stop_gradient(hard)                  # [n, b, V]
+        inputs = jax.lax.stop_gradient(
+            jnp.concatenate([prev_hard[None], hard[:-1]], axis=0))
+        logits, k_mem, v_mem, count = xl.decode_recompute_window(
+            gen_params, xcfg, inputs, k_mem, v_mem, count,
+            same_length=False)
+        step_rngs = jax.random.split(rngs[c], n)
+        u = jax.vmap(
+            lambda r: jax.random.uniform(r, (1, bsz, V),
+                                         dtype=jnp.float32)[0])(step_rngs)
+        g = -jnp.log(-jnp.log(u + eps) + eps)
+        y = jax.nn.softmax(
+            (logits.astype(jnp.float32) + g) / temperature, axis=-1)
+        st = jax.lax.stop_gradient(hard - y) + y
+        if c == 0:
+            real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
+            fake = jnp.concatenate([real_ctx, st], axis=0)
+        else:
+            fake = st
+        chunks.append((fake, hard_chunks[c][1]))
+        prev_hard = hard[-1]
+    return chunks
+
+
 def prime_context_state(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
                         data) -> xl.DecodeState:
     """``prime_context`` for the chunked path: no-grad context prime, then
@@ -400,6 +472,15 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
         if ok:
             return _sample_fake_chunks_fused(gen_params, xcfg, gcfg,
                                              data, rng)
+        # differentiable caller with a cut sample chain: sample forward-
+        # only, then batched-recompute the gradients (no per-token
+        # serialized backward). Pure-jnp fallback works without Pallas.
+        if (not forward_only and gcfg.truncate_backprop
+                and gcfg.sample_len <= gcfg.mem_len
+                and gcfg.sample_len - gcfg.context_len >= 1
+                and not xcfg.append_note_status):
+            return _sample_fake_chunks_recompute(
+                gen_params, xcfg, gcfg, data, temperature, rng)
     if chunked:
         mems = prime_context_state(gen_params, xcfg, gcfg, data)
     else:

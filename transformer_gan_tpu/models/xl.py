@@ -798,6 +798,102 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
 
 
 
+def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
+                            count, *, same_length: bool = False,
+                            status_vec=None):
+    """Batched recompute of ``n`` sequential ``decode_chunk_step``
+    forwards (detach_kv_writes=True semantics) in ONE parallel pass.
+
+    Each decode step's forward depends only on its own input given the
+    (detached) cache — the per-token scan is sequential only because of
+    the sample chain. When that chain is cut (truncate_backprop), the
+    whole window's logits AND gradients are computable batched: queries
+    live, every K/V lane stop-gradient'ed except each query's own
+    (rel_attention_kv detach_kv_cross), positional term live, sliding
+    window of M(+1) keys via the band mask below.
+
+    inp: [n, bsz, V] one-hot inputs each step saw (n <= mem_len).
+    k_mem/v_mem: per-layer lists [n_head, bsz, M, d_head] projected
+    big-cache K/V at the window start (pass stop-gradient'ed values —
+    decode memory is always detached, reference _update_mems,
+    mem_transformer.py:461-482). count: valid tail slots.
+
+    Returns (logits [n, bsz, V], new_k_mem, new_v_mem, new_count); the
+    new memory is the detached last-M tail of [mem || recomputed K/V].
+    Gradient oracle: gen_scan_chunked / decode_chunk_step
+    (tests/test_gan_recompute.py).
+    """
+    from .attention import rel_attention_kv
+
+    n, bsz, V = inp.shape
+    h, dh = cfg.n_head, cfg.d_head
+    M = k_mem[0].shape[2]
+    if n > M:
+        raise ValueError(f"recompute window n={n} exceeds mem_len={M}")
+    sl = 1 if same_length else 0
+
+    x = embed_input(params, cfg, inp, status_vec)         # [n, b, hd]
+
+    # masks in decode_chunk_step's index space: query i sees big lanes
+    # j >= max(M - count, i + sl) and window lanes s <= i with
+    # i - s <= M - sl
+    i_q = jnp.arange(n, dtype=jnp.int32)[:, None]
+    j_big = jnp.arange(M, dtype=jnp.int32)[None, :]
+    mask_big = j_big < jnp.maximum(M - count, i_q + sl)   # [n, M]
+    s_cur = jnp.arange(n, dtype=jnp.int32)[None, :]
+    mask_cur = (s_cur > i_q) | ((i_q - s_cur) > (M - sl))
+    attn_mask = jnp.concatenate([mask_big, mask_cur], axis=1)[None]
+
+    # distances klen-1..0; rel_shift maps lane j of query i to distance
+    # M + i - j, matching the decode slot algebra (big slot j at distance
+    # M - j + i, window slot s at i - s). Rows for distances > M touch
+    # masked lanes only.
+    pos = positional_embedding(cfg, M + n).astype(cfg.cdtype)
+    r_w_bias = params["r_w_bias"].astype(cfg.cdtype)
+    r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        if cfg.pre_lnorm:
+            w_in = layer_norm(x, layer["attn_ln_scale"],
+                              layer["attn_ln_bias"])
+        else:
+            w_in = x
+        attn_vec, k_cur, v_cur = rel_attention_kv(
+            w_in, k_mem[i], v_mem[i], pos,
+            layer["qkv_w"].astype(cfg.cdtype),
+            layer["r_w"].astype(cfg.cdtype),
+            r_w_bias, r_r_bias, attn_mask, h, dh,
+            softmax_dtype=cfg.sdtype, detach_kv_cross=True)
+        attn_out = attn_vec @ layer["o_w"].astype(cfg.cdtype)
+        if cfg.pre_lnorm:
+            out = x + attn_out
+        else:
+            out = layer_norm(x + attn_out, layer["attn_ln_scale"],
+                             layer["attn_ln_bias"])
+        if cfg.pre_lnorm:
+            ff_in = layer_norm(out, layer["ff_ln_scale"],
+                               layer["ff_ln_bias"])
+        else:
+            ff_in = out
+        ff = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
+                         + layer["ff_b1"].astype(cfg.cdtype))
+        ff = ff @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
+            cfg.cdtype)
+        if cfg.pre_lnorm:
+            x = out + ff
+        else:
+            x = layer_norm(out + ff, layer["ff_ln_scale"],
+                           layer["ff_ln_bias"])
+        kc = jax.lax.stop_gradient(k_cur)     # [h, b, n, dh]
+        vc = jax.lax.stop_gradient(v_cur)
+        new_k.append(jnp.concatenate([k_mem[i], kc], axis=2)[:, :, -M:])
+        new_v.append(jnp.concatenate([v_mem[i], vc], axis=2)[:, :, -M:])
+
+    logits = compute_logits(params, cfg, x)
+    return (logits, new_k, new_v, jnp.minimum(count + n, M))
+
+
 def compute_logits(params, cfg: XLConfig, hidden) -> jnp.ndarray:
     """Tied-softmax logits (reference ProjectedAdaptiveLogSoftmax
     _compute_logit with n_clusters==0; proj_adaptive_softmax.py:50-84)."""
