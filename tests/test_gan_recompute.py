@@ -103,12 +103,17 @@ def test_recompute_with_fused_sampler(monkeypatch):
                                    rtol=2e-4, atol=1e-8)
 
 
-def test_full_chain_stays_on_oracle():
-    """truncate_backprop=False keeps the sequential path (the recompute
-    is only exact when the sample chain is cut) — gradients from 'auto'
-    and 'off' are identical because both run the same scan."""
+def test_chain_bwd_off_keeps_sequential_oracle():
+    """With truncate_backprop=False AND chain_bwd='off', the sampler
+    stays on the sequential scan — gradients from 'auto' and 'off'
+    fused_sampler settings are bit-identical because both run the same
+    scan. (With chain_bwd on, the full-chain recompute path applies —
+    equivalence for that lives in tests/test_gan_fullchain.py.)"""
+    import dataclasses
     (xcfg, gen_params, gcfg_off, gcfg_auto, rcfg, dis_params,
      data) = _setup(16, 1, 8, 16, truncate=False)
+    gcfg_off = dataclasses.replace(gcfg_off, chain_bwd="off")
+    gcfg_auto = dataclasses.replace(gcfg_auto, chain_bwd="off")
     key = jax.random.PRNGKey(7)
     l_ref, g_ref = _gen_loss_and_grad(gen_params, dis_params, rcfg, xcfg,
                                       gcfg_off, data, key)

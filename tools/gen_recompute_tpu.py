@@ -1,9 +1,18 @@
-"""On-chip timing of the truncate_backprop gen phase: sequential jnp
-scan (fused_sampler=off) vs sample-then-batched-recompute (auto), at the
-spanbert GAN op-point (b 128 in 4 chunks, mem 128, 6L/10H/d500, bf16).
+"""On-chip timing of the gen phase formulations at the spanbert GAN
+op-point (b 128 in 4 chunks, mem 128, 6L/10H/d500, bf16).
+
+Default (full backprop through the sample chain, truncate_backprop
+False — the spanbert config):
+    off:    sequential jnp scan + per-token scan backward
+    chain:  fused forward sampler + batched recompute + chain-backward
+            kernel (ops/pallas_chain_bwd.py)
+
+--trunc (truncate_backprop True — the experiment_baseline config):
+    off:        sequential scan (chain cut by detached inputs)
+    recompute:  sample-then-batched-recompute (exact, no chain needed)
 
 Run ALONE (one TPU process rule):
-    python tools/gen_recompute_tpu.py [--quick]
+    python tools/gen_recompute_tpu.py [--quick] [--trunc]
 """
 from __future__ import annotations
 
@@ -25,12 +34,13 @@ from transformer_gan_tpu.models import xl
 
 def main():
     quick = "--quick" in sys.argv
+    trunc = "--trunc" in sys.argv
     xcfg = xl.XLConfig(compute_dtype="bfloat16", cache_kv=True,
                        use_pallas=True)
     gk = dict(dis_type="bert", loss_type="wgan-gp", tgt_len=128,
               mem_len=128, context_len=5, sample_chunks_mem=2,
               batch_chunk=4, gen_loss_factor=1.0, dis_loss_factor=1.0,
-              truncate_backprop=True)
+              truncate_backprop=trunc)
     dis_cfg = bert_mod.BertConfig(vocab_size=311, compute_dtype="bfloat16")
     bsz = 128
     bc = gk["batch_chunk"]
@@ -72,8 +82,11 @@ def main():
 
         return jax.jit(phase, donate_argnums=(0, 2))
 
-    for name, fs in (("off", "off"), ("recompute", "auto")):
-        gcfg = gan_mod.GanConfig(fused_sampler=fs, **gk)
+    variants = ((("off", "off", "off"), ("recompute", "auto", "off"))
+                if trunc else
+                (("off", "off", "off"), ("chain", "auto", "kernel")))
+    for name, fs, cb in variants:
+        gcfg = gan_mod.GanConfig(fused_sampler=fs, chain_bwd=cb, **gk)
         phase = make_phase(gcfg)
         p = jax.tree.map(jnp.copy, gen_params)  # donated below
         s = gen_opt.init(p)

@@ -319,6 +319,14 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     # scan; "on" asserts the fused path is taken. Sample-exact vs the
     # jnp path (same rng stream, hard argmax forward value).
     cfg.TPU.gan_fused_decode = "auto"
+    # Gen-phase backward through the FULL sample chain (DISCRIMINATOR.
+    # truncate_backprop False): "auto" samples forward-only, batched-
+    # recomputes, and runs the chain adjoint on the fused chain-backward
+    # kernel when shapes qualify (ops/pallas_chain_bwd.py), else the jnp
+    # reverse scan; "jnp" forces the scan-of-VJPs oracle; "kernel"
+    # asserts the kernel; "off" keeps the sequential sampling scan
+    # backward. Gradient-exact in every mode (tests/test_gan_fullchain).
+    cfg.TPU.gan_chain_bwd = "auto"
     cfg.TPU.donate = True
     cfg.TPU.profile_dir = ""            # jax.profiler trace dir ("" = off)
     return cfg

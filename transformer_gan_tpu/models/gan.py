@@ -25,6 +25,7 @@ Reproduced semantics:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,14 @@ class GanConfig:
     ppo_dis_type: str = "bert"
     clip_param: float = 0.4
     n_token: int = 310
+    # FULL-backprop-through-the-sample-chain gen phase (truncate_backprop
+    # False): "off" runs the sequential scan (oracle); "jnp" routes
+    # through the batched recompute + the jnp chain backward
+    # (_chunk_st_fullchain — per-step dx-only VJPs, parameter gradients
+    # from ONE batched window pullback); "kernel"/"auto" use the fused
+    # chain-backward kernel when shapes qualify (auto falls back to the
+    # sequential scan otherwise)
+    chain_bwd: str = "auto"
     # forward-only fused decode kernel (ops/pallas_decode.py) for the
     # no-grad sampling inside dis/clf phases: "auto" uses it whenever the
     # chunked path is active and shapes qualify; "off" forces the jnp
@@ -93,6 +102,7 @@ class GanConfig:
             decode_cache=str(getattr(cfg.TPU, "gan_decode_cache", "auto")),
             fused_sampler=str(getattr(cfg.TPU, "gan_fused_decode",
                                       "auto")),
+            chain_bwd=str(getattr(cfg.TPU, "gan_chain_bwd", "auto")),
         )
 
 
@@ -346,24 +356,195 @@ def _sample_fake_chunks_fused(gen_params, xcfg: xl.XLConfig,
     return chunks
 
 
+def _zero_ct(x):
+    """Zero cotangent matching JAX's tangent-type rules (float0 for
+    integer primals — custom_vjp rejects plain zeros there)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    import numpy as np
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _window_st(params, xcfg: xl.XLConfig, inputs, k_mem, v_mem, count, g,
+               hard, temperature):
+    """Batched window forward + straight-through rebuild for one chunk."""
+    logits, kf, vf, nc = xl.decode_recompute_window(
+        params, xcfg, inputs, k_mem, v_mem, count, same_length=False)
+    y = jax.nn.softmax((logits.astype(jnp.float32) + g) / temperature,
+                       axis=-1)
+    st = jax.lax.stop_gradient(hard - y) + y
+    return st, y, kf, vf, nc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _chunk_st_fullchain(params, xcfg: xl.XLConfig, chain_impl, inputs,
+                        k_mem, v_mem, count, g, hard, temperature):
+    """One chunk of straight-through samples with FULL backprop through
+    the sample chain (truncate_backprop=False), computed batched.
+
+    The K/V cache is always detached (reference _update_mems,
+    mem_transformer.py:461-482), so the only sequential gradient
+    dependency is the straight-through one-hot chain
+    input_{t+1} = hard_t + y_t - sg(y_t). The adjoint therefore
+    decomposes (see _chunk_st_fullchain_bwd):
+
+    * a reverse scan over steps carrying ONLY the input cotangent chi
+      [b, V]: m_t = s_t + chi_t; softmax-backward gives the logits
+      cotangent q_t; chi_{t-1} = J_t^T q_t where J_t is the SINGLE-
+      position Jacobian d logits_t / d input_t — equal to the n=1
+      batched window over lanes k_full[t:t+M] (slide algebra: original
+      big lane j at distance M-j+t lands at slid lane j-t = distance
+      M-(j-t); window lane M+s at distance t-s = M-((M+s)-t));
+    * ALL parameter gradients from ONE batched window pullback with the
+      collected per-step logits cotangents Q (the window Jacobian wrt
+      inputs is block-diagonal and its theta-paths per position equal
+      the sequential step's — tests/test_gan_recompute.py proves the
+      window == decode-scan gradient contract).
+
+    No per-step parameter-cotangent accumulation (the sequential scan
+    backward adds a full ~P-sized gradient tree every token) and no
+    per-token backward through the network for the theta terms.
+
+    ``chain_impl`` (static): "jnp" forces the reverse-scan-of-VJPs
+    oracle; "kernel" asserts the fused chain-backward kernel
+    (ops/pallas_chain_bwd.py — the whole reverse recursion in ONE
+    pallas_call per chunk); "auto" uses the kernel when shapes qualify.
+    Oracle: gen_scan_chunked with detach flags False
+    (tests/test_gan_fullchain.py)."""
+    st, _, kf, vf, nc = _window_st(params, xcfg, inputs, k_mem, v_mem,
+                                   count, g, hard, temperature)
+    return st, kf, vf, nc
+
+
+def _chunk_st_fullchain_fwd(params, xcfg: xl.XLConfig, chain_impl,
+                            inputs, k_mem, v_mem, count, g, hard,
+                            temperature):
+    st, y, kf, vf, nc = _window_st(params, xcfg, inputs, k_mem, v_mem,
+                                   count, g, hard, temperature)
+    res = (params, inputs, k_mem, v_mem, count, g, hard, y, kf, vf,
+           temperature)
+    return (st, kf, vf, nc), res
+
+
+def _chain_q_jnp(params, xcfg, inputs, kf, vf, count, y, dst,
+                 temperature, M):
+    """Reverse chain via a scan of single-position VJPs (oracle path)."""
+    n, bsz, V = y.shape
+    ldt = xcfg.cdtype                                 # logits dtype
+
+    def body(chi, xs):
+        s_t, y_t, inp_t, t = xs
+        m = s_t + chi
+        # y = softmax((logits + g)/T): dlogits = y*(m - <m,y>)/T
+        q_t = (y_t * (m - jnp.sum(m * y_t, axis=-1, keepdims=True))
+               ) / temperature
+        k_t = tuple(jax.lax.dynamic_slice_in_dim(a, t, M, axis=2)
+                    for a in kf)
+        v_t = tuple(jax.lax.dynamic_slice_in_dim(a, t, M, axis=2)
+                    for a in vf)
+        count_t = jnp.minimum(count + t, M)
+
+        def step_fn(x_oh):
+            lg, _, _, _ = xl.decode_recompute_window(
+                params, xcfg, x_oh[None], k_t, v_t, count_t,
+                same_length=False)
+            return lg[0]
+
+        chi_prev = jax.vjp(step_fn, inp_t)[1](q_t.astype(ldt))[0]
+        return chi_prev.astype(jnp.float32), q_t
+
+    _, Q = jax.lax.scan(
+        body, jnp.zeros((bsz, V), jnp.float32),
+        (dst, y, inputs, jnp.arange(n, dtype=jnp.int32)), reverse=True)
+    return Q
+
+
+def _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y, dst,
+                    temperature, M):
+    """Reverse chain on the fused kernel (one pallas_call per chunk)."""
+    from ..ops import pallas_chain_bwd as pchain
+    from ..ops import pallas_decode as pdec
+    n, bsz, V = y.shape
+    h, dh = xcfg.n_head, xcfg.d_head
+    hd = h * dh
+
+    def dense(a):  # [h, b, KL, dh] -> [b, KL, hd]
+        return a.transpose(1, 2, 0, 3).reshape(bsz, a.shape[2], hd)
+
+    kf_d = jnp.stack([dense(a) for a in kf])
+    vf_d = jnp.stack([dense(a) for a in vf])
+    r_heads = jax.lax.stop_gradient(
+        xl.precompute_r_heads(params, xcfg, M + 1)).reshape(
+            xcfg.n_layer, M + 1, hd)
+    stacked = pdec.stack_decode_params(
+        jax.lax.stop_gradient(params), xcfg)
+    ids = jnp.argmax(inputs, axis=-1).astype(jnp.int32)
+    return pchain.chain_bwd_q(stacked, xcfg, kf_d, vf_d, r_heads, ids,
+                              dst, y, count, temperature)
+
+
+def _chunk_st_fullchain_bwd(xcfg: xl.XLConfig, chain_impl, res, cts):
+    (params, inputs, k_mem, v_mem, count, g, hard, y, kf, vf,
+     temperature) = res
+    dst = cts[0].astype(jnp.float32)                  # d loss / d st
+    n, bsz, V = y.shape
+    M = k_mem[0].shape[2]
+    ldt = xcfg.cdtype                                 # logits dtype
+
+    from ..ops import pallas_chain_bwd as pchain
+    kernel_ok = pchain.supports_chain_bwd(xcfg, bsz, M, n)
+    if chain_impl == "kernel" and not kernel_ok:
+        raise ValueError(
+            "chain_bwd='kernel' but the fused chain-backward kernel "
+            "does not apply (needs cache_kv + use_pallas + qualifying "
+            f"shapes; bsz={bsz}, M={M}, n={n})")
+    if kernel_ok and chain_impl in ("kernel", "auto"):
+        Q = _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y, dst,
+                            temperature, M)
+    else:
+        Q = _chain_q_jnp(params, xcfg, inputs, kf, vf, count, y, dst,
+                         temperature, M)
+
+    def win_logits(p):
+        lg, _, _, _ = xl.decode_recompute_window(
+            p, xcfg, inputs, k_mem, v_mem, count, same_length=False)
+        return lg
+
+    dparams = jax.vjp(win_logits, params)[1](Q.astype(ldt))[0]
+    zeros = jax.tree.map(_zero_ct,
+                         (inputs, k_mem, v_mem, count, g, hard))
+    # temperature's true cotangent is never consumed (it comes from the
+    # annealing schedule, not from trained parameters)
+    return (dparams,) + zeros + (jnp.zeros_like(
+        jnp.asarray(temperature, jnp.float32)),)
+
+
+_chunk_st_fullchain.defvjp(_chunk_st_fullchain_fwd, _chunk_st_fullchain_bwd)
+
+
 def _sample_fake_chunks_recompute(gen_params, xcfg: xl.XLConfig,
                                   gcfg: GanConfig, data, temperature, rng):
-    """Differentiable ``sample_fake_chunks`` for truncate_backprop: sample
-    the trajectory forward-only (fused kernel when shapes qualify), then
-    recompute logits for ALL positions in one batched pass per chunk
-    (xl.decode_recompute_window) and rebuild the straight-through
-    one-hots from the same gumbel draws.
+    """Differentiable ``sample_fake_chunks`` without the per-token
+    serialized backward: sample the trajectory forward-only (fused kernel
+    when shapes qualify), then recompute logits for ALL positions in one
+    batched pass per chunk (xl.decode_recompute_window) and rebuild the
+    straight-through one-hots from the same gumbel draws.
 
     With truncate_backprop every step's input is detached (reference
     transformer_gan.py:308-320), so the sample chain carries no gradient
     and the batched recompute's loss AND gradients equal the sequential
-    jnp scan's exactly (tests/test_gan_recompute.py) — without the
-    per-token serialized backward that dominates the gen phase.
+    jnp scan's exactly (tests/test_gan_recompute.py). With full backprop
+    through the chain (truncate_backprop=False), the chunk goes through
+    _chunk_st_fullchain, whose custom backward adds the exact chain
+    adjoint (a reverse scan carrying only the [b, V] input cotangent)
+    on top of the same batched recompute.
 
     rng consumption mirrors the sampling paths id-for-id (same per-chunk
     split, same per-step (1, bsz, V) uniform draws), and the hard forward
     values are the SAMPLER's one-hots, so the trajectory is identical by
-    construction."""
+    construction (straight-through forward values equal the hard
+    samples either way)."""
     bsz = data.shape[1]
     V = gcfg.n_token
     eps = 1e-20
@@ -379,8 +560,8 @@ def _sample_fake_chunks_recompute(gen_params, xcfg: xl.XLConfig,
         a = a[:, :M]          # fused-rows layout: drop positional rows
         return a.reshape(bsz, M, h, dh).transpose(2, 0, 1, 3)
 
-    k_mem = [jax.lax.stop_gradient(hmajor(k)) for k, _ in state.kv]
-    v_mem = [jax.lax.stop_gradient(hmajor(v)) for _, v in state.kv]
+    k_mem = tuple(jax.lax.stop_gradient(hmajor(k)) for k, _ in state.kv)
+    v_mem = tuple(jax.lax.stop_gradient(hmajor(v)) for _, v in state.kv)
     count = state.count
     ctx = gcfg.context_len
     rngs = jax.random.split(rng, gcfg.sample_chunks_mem)
@@ -397,17 +578,21 @@ def _sample_fake_chunks_recompute(gen_params, xcfg: xl.XLConfig,
         hard = jax.lax.stop_gradient(hard)                  # [n, b, V]
         inputs = jax.lax.stop_gradient(
             jnp.concatenate([prev_hard[None], hard[:-1]], axis=0))
-        logits, k_mem, v_mem, count = xl.decode_recompute_window(
-            gen_params, xcfg, inputs, k_mem, v_mem, count,
-            same_length=False)
         step_rngs = jax.random.split(rngs[c], n)
         u = jax.vmap(
             lambda r: jax.random.uniform(r, (1, bsz, V),
                                          dtype=jnp.float32)[0])(step_rngs)
         g = -jnp.log(-jnp.log(u + eps) + eps)
-        y = jax.nn.softmax(
-            (logits.astype(jnp.float32) + g) / temperature, axis=-1)
-        st = jax.lax.stop_gradient(hard - y) + y
+        if gcfg.truncate_backprop:
+            st, _, kf, vf, count = _window_st(
+                gen_params, xcfg, inputs, k_mem, v_mem, count, g, hard,
+                temperature)
+        else:
+            st, kf, vf, count = _chunk_st_fullchain(
+                gen_params, xcfg, gcfg.chain_bwd, inputs, k_mem, v_mem,
+                count, g, hard, temperature)
+        k_mem = tuple(a[:, :, -M:] for a in kf)
+        v_mem = tuple(a[:, :, -M:] for a in vf)
         if c == 0:
             real_ctx = jax.nn.one_hot(data[:ctx], V, dtype=jnp.float32)
             fake = jnp.concatenate([real_ctx, st], axis=0)
@@ -472,13 +657,18 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
         if ok:
             return _sample_fake_chunks_fused(gen_params, xcfg, gcfg,
                                              data, rng)
-        # differentiable caller with a cut sample chain: sample forward-
-        # only, then batched-recompute the gradients (no per-token
-        # serialized backward). Pure-jnp fallback works without Pallas.
-        if (not forward_only and gcfg.truncate_backprop
+        # differentiable caller: sample forward-only, then batched-
+        # recompute the gradients (no per-token serialized backward).
+        # Always exact for truncate_backprop (the sample chain carries
+        # no gradient); with full backprop through the chain the
+        # _chunk_st_fullchain custom adjoint adds the chain terms
+        # (chain_bwd gates it: "off" keeps the sequential oracle scan).
+        if (not forward_only
                 and gcfg.sample_len <= gcfg.mem_len
                 and gcfg.sample_len - gcfg.context_len >= 1
-                and not xcfg.append_note_status):
+                and not xcfg.append_note_status
+                and (gcfg.truncate_backprop
+                     or gcfg.chain_bwd in ("jnp", "kernel", "auto"))):
             return _sample_fake_chunks_recompute(
                 gen_params, xcfg, gcfg, data, temperature, rng)
     if chunked:

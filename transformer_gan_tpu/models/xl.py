@@ -818,10 +818,14 @@ def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
     decode memory is always detached, reference _update_mems,
     mem_transformer.py:461-482). count: valid tail slots.
 
-    Returns (logits [n, bsz, V], new_k_mem, new_v_mem, new_count); the
-    new memory is the detached last-M tail of [mem || recomputed K/V].
-    Gradient oracle: gen_scan_chunked / decode_chunk_step
-    (tests/test_gan_recompute.py).
+    Returns (logits [n, bsz, V], k_full, v_full, new_count): k_full/
+    v_full are the per-layer FULL lane buffers [n_head, bsz, M+n, d_head]
+    = [mem || recomputed K/V] (window part stop-gradient'ed); the
+    caller's next-window memory is their last-M tail, and the chain
+    backward (full backprop through the sample chain,
+    _chunk_st_fullchain in models/gan.py) slices per-step lanes
+    [t : t+M] out of them. Gradient oracle: gen_scan_chunked /
+    decode_chunk_step (tests/test_gan_recompute.py).
     """
     from .attention import rel_attention_kv
 
@@ -887,8 +891,8 @@ def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
                            layer["ff_ln_bias"])
         kc = jax.lax.stop_gradient(k_cur)     # [h, b, n, dh]
         vc = jax.lax.stop_gradient(v_cur)
-        new_k.append(jnp.concatenate([k_mem[i], kc], axis=2)[:, :, -M:])
-        new_v.append(jnp.concatenate([v_mem[i], vc], axis=2)[:, :, -M:])
+        new_k.append(jnp.concatenate([k_mem[i], kc], axis=2))
+        new_v.append(jnp.concatenate([v_mem[i], vc], axis=2))
 
     logits = compute_logits(params, cfg, x)
     return (logits, new_k, new_v, jnp.minimum(count + n, M))
