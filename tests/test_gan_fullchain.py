@@ -134,6 +134,37 @@ def test_fullchain_with_fused_sampler(monkeypatch):
     _assert_close(l_ref, g_ref, l_got, g_got)
 
 
+def test_chain_kernel_asserts_when_unsupported():
+    """chain_bwd='kernel' must fail loud when the kernel cannot apply
+    (here: use_pallas=False), not silently fall back."""
+    import dataclasses
+    (xcfg, gen_params, gcfg_off, gcfg_chain, rcfg, dis_params,
+     data) = _setup(16, 1, 8, 16, use_pallas=False)
+    gcfg_kernel = dataclasses.replace(gcfg_chain, chain_bwd="kernel")
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="chain_bwd='kernel'"):
+        _gen_loss_and_grad(gen_params, dis_params, rcfg, xcfg,
+                           gcfg_kernel, data, key)
+
+
+def test_chain_auto_falls_back_to_jnp_without_pallas():
+    """chain_bwd='auto' without Pallas support must run the jnp chain —
+    gradients equal the forced-jnp path bit-for-bit."""
+    (xcfg, gen_params, gcfg_off, gcfg_chain, rcfg, dis_params,
+     data) = _setup(16, 1, 8, 16, use_pallas=False)
+    import dataclasses
+    gcfg_auto = dataclasses.replace(gcfg_chain, chain_bwd="auto")
+    key = jax.random.PRNGKey(4)
+    l_j, g_j = _gen_loss_and_grad(gen_params, dis_params, rcfg, xcfg,
+                                  gcfg_chain, data, key)
+    l_a, g_a = _gen_loss_and_grad(gen_params, dis_params, rcfg, xcfg,
+                                  gcfg_auto, data, key)
+    assert float(l_a) == float(l_j)
+    for a, b in zip(jax.tree_util.tree_leaves(g_j),
+                    jax.tree_util.tree_leaves(g_a)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 @pytest.mark.parametrize("tgt_len,chunks,bsz,mem_len,pre", [
     (32, 2, 8, 16, False),   # count growth + wrap, KL not 8-aligned
     (16, 1, 8, 32, False),   # single chunk, mem > sample_len
