@@ -79,7 +79,11 @@ def test_fused_routing_and_dis_loss(monkeypatch):
     produces the same loss as the jnp path; the gen phase is untouched
     by the flag (still differentiable)."""
     from transformer_gan_tpu.models import discriminator as disc_mod
+    from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
     monkeypatch.setattr(pdec, "INTERPRET", True)
+    # the gen-phase grad below routes its backward through the chain
+    # kernel under use_pallas (chain_bwd="auto")
+    monkeypatch.setattr(pchain, "INTERPRET", True)
     (xcfg_jnp, xcfg_fused, gen_params, gcfg_off, gcfg_on,
      data) = _setup(16, 2, 8)
     rcfg = disc_mod.RelganConfig(embed_dim=16, num_rep=4, vocab_size=310)
@@ -123,3 +127,28 @@ def test_fused_gate_fallback():
     with pytest.raises(ValueError):
         gan_mod.sample_fake_chunks(gen_params, xcfg_fused, gcfg_on,
                                    data, 1.0, key, forward_only=True)
+
+
+def test_chunk_kernel_matches_per_token_kernel(monkeypatch):
+    """The whole-chunk sampler (one launch per chunk, resident
+    weights/K/V, in-VMEM argmax feedback) must sample the EXACT same
+    ids and one-hots as the per-token kernel scan."""
+    monkeypatch.setattr(pdec, "INTERPRET", True)
+    (xcfg_jnp, xcfg_fused, gen_params, gcfg_off, gcfg_on,
+     data) = _setup(40, 2, 8)     # 2 outer chunks, inner windows 17 + 20
+    key = jax.random.PRNGKey(21)
+    assert pdec.supports_fused_decode_chunk(xcfg_fused, 8, 40, 20)
+    got_chunk = gan_mod.sample_fake_chunks(
+        gen_params, xcfg_fused, gcfg_on, data, 1.0, key,
+        forward_only=True)
+    monkeypatch.setattr(pdec, "supports_fused_decode_chunk",
+                        lambda *a, **k: False)
+    got_tok = gan_mod.sample_fake_chunks(
+        gen_params, xcfg_fused, gcfg_on, data, 1.0, key,
+        forward_only=True)
+    for (f_c, r_c), (f_t, r_t) in zip(got_chunk, got_tok):
+        np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_t))
+        np.testing.assert_array_equal(np.asarray(f_c.argmax(-1)),
+                                      np.asarray(f_t.argmax(-1)))
+        np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_t),
+                                   atol=1e-6)

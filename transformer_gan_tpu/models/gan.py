@@ -276,7 +276,20 @@ def gen_scan_chunked_fused(stacked, xcfg: xl.XLConfig, gcfg: GanConfig,
 
     g_all = jax.vmap(g_of)(rngs)                        # [n, bsz, V]
 
+    whole_chunk = pdec.supports_fused_decode_chunk(xcfg, bsz, M, C)
+
     def run_chunk(K, Vb, count, ids, g_c, n):
+        if whole_chunk:
+            # the whole n-token sequential loop is ONE kernel launch:
+            # resident weights/K/V, staging ring + argmax feedback in
+            # VMEM (ops/pallas_decode.py _decode_chunk_kernel)
+            ids, oh, sk, sv = pdec.fused_decode_chunk(
+                stacked, xcfg, K, Vb, R, ids, g_c, count, n)
+            if sk.shape[2] < C:     # remainder staging is n-sized
+                pad = jnp.zeros((L, bsz, C - sk.shape[2], hd), sk.dtype)
+                sk = jnp.concatenate([sk, pad], axis=2)
+                sv = jnp.concatenate([sv, pad], axis=2)
+            return ids, sk, sv, oh
         sk0 = jnp.zeros((L, bsz, C, hd), K.dtype)
         sv0 = jnp.zeros_like(sk0)
         sc = jnp.stack(

@@ -380,6 +380,291 @@ def stack_decode_params(params, cfg):
     }
 
 
+def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
+                         k_ref, v_ref, r_ref,
+                         qw_ref, kw_ref, vw_ref, ow_ref,
+                         ff1_ref, fb1_ref, ff2_ref, fb2_ref,
+                         lnas_ref, lnab_ref, lnfs_ref, lnfb_ref,
+                         rwb_ref, rrb_ref, mh_ref, embw_ref, embt_ref,
+                         cb_ref,
+                         ids_out, oh_out, sk_out, sv_out,
+                         x_ref, tmp_ref, qhw_ref, qhr_ref, ids_s, *,
+                         T, L, NB, BB, M, C, V, HD, pre_lnorm, cdtype,
+                         eps_ln, scale):
+    """Whole-chunk sampler: grid (T, L, NB) — the T-token sequential
+    sampling loop lives INSIDE one pallas_call. Differences from the
+    per-token ``_decode_kernel``:
+
+    * weights / K / V / R are FULL resident operands (constant
+      index_map -> fetched once per launch, not once per token) read
+      with the traced layer index;
+    * the staged-K/V ring buffers ARE the ``sk_out``/``sv_out`` output
+      refs (zeroed at t==0, read back for scores, written back to HBM
+      once at the end);
+    * the argmax feedback (next token's input id) is carried in the
+      ``ids_s`` VMEM scratch across grid steps — sampling never leaves
+      the chip's VMEM between tokens.
+
+    Sample-exact vs the per-token kernel and the jnp oracle (same
+    pre-transformed gumbel stream, same math)."""
+    t = pl.program_id(0)
+    li = pl.program_id(1)
+    bb = pl.program_id(2)
+    count = sc_ref[0]
+    B = NB * BB
+    bs = pl.multiple_of(bb * BB, BB)
+
+    @pl.when(jnp.logical_and(t == 0,
+                             jnp.logical_and(li == 0, bb == 0)))
+    def _():
+        ids_s[:] = ids0_ref[:]
+
+    # zero the staging ring once per (layer, batch-block): garbage lanes
+    # would otherwise reach the ctx dot as 0 * NaN
+    @pl.when(t == 0)
+    def _():
+        sk_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
+        sv_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
+
+    # ---- embed the previous token (once per t, before layer 0) ----
+    @pl.when(jnp.logical_and(li == 0, bb == 0))
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+        oh = (lane == ids_s[:]).astype(cdtype)
+        x_ref[:] = _dot(oh, embw_ref[:]).astype(cdtype)
+
+    x = x_ref[pl.ds(bs, BB), :]                                # [BB, HD]
+    if pre_lnorm:
+        w_in = _ln(x, lnas_ref[li], lnab_ref[li], eps_ln)
+    else:
+        w_in = x
+
+    q = _dot(w_in, qw_ref[li]).astype(cdtype)                  # [BB, HD]
+    k = _dot(w_in, kw_ref[li]).astype(cdtype)
+    v = _dot(w_in, vw_ref[li]).astype(cdtype)
+
+    # staged K/V ring write at chunk slot t (per-row, see _decode_kernel)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (C, HD), 0)
+    tmp_ref[:] = k
+    for b in range(BB):
+        sk_out[li, bs + b] = jnp.where(
+            srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
+            sk_out[li, bs + b])
+    tmp_ref[:] = v
+    for b in range(BB):
+        sv_out[li, bs + b] = jnp.where(
+            srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
+            sv_out[li, bs + b])
+    sk_new = sk_out[li, pl.ds(bs, BB)]                         # [BB,C,HD]
+    sv_new = sv_out[li, pl.ds(bs, BB)]
+
+    # ---- relative-position attention over big cache + staging ----
+    mh = mh_ref[:].astype(cdtype)                              # [H, HD]
+    tmp_ref[:] = q + rwb_ref[:].astype(cdtype)
+    for b in range(BB):
+        qhw_ref[b] = tmp_ref[b:b + 1, :] * mh
+    tmp_ref[:] = q + rrb_ref[:].astype(cdtype)
+    for b in range(BB):
+        qhr_ref[b] = tmp_ref[b:b + 1, :] * mh
+    qHw = qhw_ref[:]                                           # [BB,H,HD]
+    qHr = qhr_ref[:]
+
+    k_big = k_ref[li, pl.ds(bs, BB)]                           # [BB,M,HD]
+    v_big = v_ref[li, pl.ds(bs, BB)]
+    ac_big = _bdot(qHw, k_big).astype(cdtype)                  # [BB,H,M]
+    ac_st = _bdot(qHw, sk_new).astype(cdtype)                  # [BB,H,C]
+    bd_rev = jax.lax.dot_general(
+        qHr, r_ref[li], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [BB,H,M+1]
+    H = mh.shape[0]
+    bd_pad = (jnp.concatenate(
+        [bd_rev, jnp.zeros((BB, H, C - 1), jnp.float32)],
+        axis=-1) if C > 1 else bd_rev)                         # [BB,H,M+C]
+    bd_cat = _roll_lanes(bd_pad, t)
+
+    score = (jnp.concatenate([ac_big, ac_st], axis=-1)
+                 .astype(jnp.float32)
+             + bd_cat) * scale                                 # [BB,H,KL]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, H, M + C), 2)
+    masked = (((lane < M) & (lane < jnp.maximum(M - count, t)))
+              | ((lane >= M) & (lane > M + t)))
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    score = jnp.where(masked, neg, score)
+    mx = jnp.max(score, axis=-1, keepdims=True)
+    e = jnp.exp(score - mx)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+
+    vcat = jnp.concatenate([v_big, sv_new], axis=1)            # [BB,KL,HD]
+    ctx_h = jax.lax.dot_general(
+        p, vcat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                    # [BB,H,HD]
+    ctx = jnp.sum(ctx_h * mh[None].astype(jnp.float32),
+                  axis=1).astype(cdtype)                       # [BB, HD]
+
+    attn = _dot(ctx, ow_ref[li]).astype(cdtype)
+    if pre_lnorm:
+        out = x + attn
+        ff_in = _ln(out, lnfs_ref[li], lnfb_ref[li], eps_ln)
+    else:
+        out = _ln(x + attn, lnas_ref[li], lnab_ref[li], eps_ln)
+        ff_in = out
+    ff = jax.nn.relu(_dot(ff_in, ff1_ref[li]).astype(cdtype)
+                     + fb1_ref[li].astype(cdtype))
+    ff = _dot(ff, ff2_ref[li]).astype(cdtype) + fb2_ref[li].astype(cdtype)
+    if pre_lnorm:
+        x_new = out + ff
+    else:
+        x_new = _ln(out + ff, lnfs_ref[li], lnfb_ref[li], eps_ln)
+    x_ref[pl.ds(bs, BB), :] = x_new.astype(cdtype)
+
+    # ---- logits + gumbel argmax (once per t, after the last layer) ----
+    @pl.when(jnp.logical_and(li == L - 1, bb == NB - 1))
+    def _():
+        xf = x_ref[:].astype(cdtype)                           # [B, HD]
+        logits = (_dot(xf, embt_ref[:]).astype(cdtype)
+                  + cb_ref[:].astype(cdtype)).astype(jnp.float32)
+        z = logits + g_ref[0]                                  # [B, V]
+        zmax = jnp.max(z, axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+        idx = jnp.min(jnp.where(z == zmax, lane, V), axis=-1,
+                      keepdims=True)                           # [B, 1]
+        ids_s[:] = idx
+        oh_out[0] = (lane == idx).astype(jnp.float32)
+
+        @pl.when(t == T - 1)
+        def _():
+            ids_out[:] = idx
+
+
+@functools.lru_cache(maxsize=None)
+def _make_decode_chunk_call(T, L, NB, BB, M, C, V, HD, DI, H, pre_lnorm,
+                            cdtype, eps_ln, scale, interpret):
+    cdtype = jnp.dtype(cdtype).type
+    kernel = functools.partial(
+        _decode_chunk_kernel, T=T, L=L, NB=NB, BB=BB, M=M, C=C, V=V,
+        HD=HD, pre_lnorm=pre_lnorm, cdtype=cdtype, eps_ln=eps_ln,
+        scale=scale)
+    B = NB * BB
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda t, l, b, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_t(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda t, l, b, *_: (t,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, L, NB),
+        in_specs=[
+            full((B, 1)),            # seed ids
+            per_t((B, V)),           # gumbel g per step
+            full((L, B, M, HD)),     # K big (resident)
+            full((L, B, M, HD)),     # V big (resident)
+            full((L, M + 1, HD)),    # R positional projections
+            full((L, HD, HD)),       # q_w
+            full((L, HD, HD)),       # k_w
+            full((L, HD, HD)),       # v_w
+            full((L, HD, HD)),       # o_w
+            full((L, HD, DI)),       # ff_w1
+            full((L, 1, DI)),        # ff_b1
+            full((L, DI, HD)),       # ff_w2
+            full((L, 1, HD)),        # ff_b2
+            full((L, 1, HD)),        # attn_ln_scale
+            full((L, 1, HD)),        # attn_ln_bias
+            full((L, 1, HD)),        # ff_ln_scale
+            full((L, 1, HD)),        # ff_ln_bias
+            full((1, HD)),           # r_w_bias
+            full((1, HD)),           # r_r_bias
+            full((H, HD)),           # head mask
+            full((V, HD)),           # word_emb * sqrt(d)
+            full((HD, V)),           # word_emb^T
+            full((1, V)),            # crit_bias
+        ],
+        out_specs=[
+            full((B, 1)),            # final ids
+            per_t((B, V)),           # one-hots per step
+            full((L, B, C, HD)),     # staged K (ring buffer in VMEM)
+            full((L, B, C, HD)),     # staged V
+        ],
+        scratch_shapes=[pltpu.VMEM((B, HD), cdtype),
+                        pltpu.VMEM((BB, HD), cdtype),
+                        pltpu.VMEM((BB, H, HD), cdtype),
+                        pltpu.VMEM((BB, H, HD), cdtype),
+                        pltpu.VMEM((B, 1), jnp.int32)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((T, B, V), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, C, HD), cdtype),
+        jax.ShapeDtypeStruct((L, B, C, HD), cdtype),
+    ]
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+
+def decode_chunk_vmem_bytes(cfg, bsz: int, M: int, C: int) -> int:
+    """Rough resident-VMEM footprint of the chunk sampler (operands +
+    staging + scratch), for the dispatch gate."""
+    L, HD, DI, V = (cfg.n_layer, cfg.n_head * cfg.d_head, cfg.d_inner,
+                    cfg.n_token)
+    bpe = 2 if jnp.dtype(cfg.cdtype).itemsize == 2 else 4
+    kv = 2 * L * bsz * M * HD * bpe
+    weights = L * (4 * HD * HD + 2 * HD * DI) * bpe
+    r = L * (M + 1) * HD * bpe
+    emb = 2 * V * HD * bpe
+    staging = 2 * L * bsz * C * HD * bpe
+    g_oh = 2 * bsz * V * 4
+    scratch = (bsz * HD + 3 * 32 * HD) * bpe + bsz * V * 4
+    return kv + weights + r + emb + staging + g_oh + scratch
+
+
+def supports_fused_decode_chunk(cfg, bsz: int, M: int, C: int) -> bool:
+    """Gate for the whole-chunk sampler: per-token constraints plus the
+    resident operands must fit VMEM with headroom."""
+    return (supports_fused_decode(cfg, bsz, M, C)
+            and decode_chunk_vmem_bytes(cfg, bsz, M, C)
+            < int(_VMEM_LIMIT * 0.85))
+
+
+def fused_decode_chunk(stacked, cfg, K, Vb, R, ids, g, count, n: int):
+    """Sample ``n`` tokens in ONE kernel launch.
+
+    K/Vb [L, B, M, HD]; R [L, M+1, HD]; ids [B, 1] int32 seed;
+    g [n, B, V] pre-transformed gumbel noise (fp32); count: chunk-start
+    valid big-cache slots. Returns (ids' [B,1], onehots [n, B, V],
+    sk [L, B, C, HD], sv likewise) with C = _MAX_CHUNK-capped staging
+    (first n rows valid).
+    """
+    L, B, M, HD = K.shape
+    V = g.shape[2]
+    C = max(n, 1)
+    BB = _pick_bb(B)
+    call = _make_decode_chunk_call(
+        n, L, B // BB, BB, M, C, V, HD, cfg.d_inner, cfg.n_head,
+        bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
+        1.0 / (cfg.d_head ** 0.5), INTERPRET)
+    sc = jnp.asarray([count], jnp.int32)
+    ids_f, oh, sk, sv = call(
+        sc, ids, g,
+        K, Vb, R,
+        stacked["q_w"], stacked["k_w"], stacked["v_w"],
+        stacked["o_w"], stacked["ff1"], stacked["fb1"],
+        stacked["ff2"], stacked["fb2"],
+        stacked["ln_as"], stacked["ln_ab"],
+        stacked["ln_fs"], stacked["ln_fb"],
+        stacked["rwb"], stacked["rrb"], stacked["mask_h"],
+        stacked["emb_scaled"], stacked["emb_t"],
+        stacked["crit_bias"])
+    return ids_f, oh, sk, sv
+
+
 def fused_decode_step(stacked, cfg, K, Vb, R, sk, sv, ids, g, sc):
     """One fused sampling step.
 
