@@ -151,11 +151,16 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     empty0 = jnp.zeros_like(first_token)
 
     if xcfg.cache_kv:
+        from ..ops import pallas_generate as pgen
+        C = min(DECODE_CHUNK, length)
+        bsz = first_token.shape[0]
+        if pgen.supports_fused_generate(xcfg, scfg, bsz,
+                                        mems.hids.shape[4], C):
+            return _sample_scan_fused(params, xcfg, scfg, first_token,
+                                      mems, length, rngs, empty0)
         # Two-level chunked decode (see models/xl.py): the big K/V cache is
         # read-only inside each C-token inner scan (XLA never copies it);
         # staging absorbs the per-token writes and is merged once per chunk.
-        C = min(DECODE_CHUNK, length)
-        bsz = first_token.shape[0]
         state0 = xl.decode_state_from_mems(params, xcfg, mems)
 
         def run_chunk(state, token, empty_run, chunk_rngs, n):
@@ -224,6 +229,98 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     (_, final_mems, _), tokens = jax.lax.scan(
         body, (first_token, mems, empty0), rngs)
     return tokens, final_mems
+
+
+def _sample_scan_fused(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
+                       first_token, mems: xl.XLMems, length: int, rngs,
+                       empty0):
+    """``sample_scan`` on the fused whole-chunk generation kernel
+    (ops/pallas_generate.py): per 32-token chunk, ONE kernel launch runs
+    the entire forward + logit surgery + top-k categorical draw, with
+    the token / empty-run feedback carried in VMEM.
+
+    Exactness vs the jnp path: same chunk/merge structure, same decode
+    masks (same_length), and the categorical draw uses the SAME gumbel
+    values (``jax.random.gumbel`` on the oracle's per-lane keys —
+    exactly what ``jax.random.categorical`` draws internally) applied
+    as argmax(z + G) over the kept set, which equals
+    ``categorical(log softmax(z) masked)`` because softmax is monotone
+    and logsumexp is constant per row."""
+    from ..ops import pallas_decode as pdec
+    from ..ops import pallas_generate as pgen
+
+    L = xcfg.n_layer
+    h, dh = xcfg.n_head, xcfg.d_head
+    hd = h * dh
+    bsz = first_token.shape[0]
+    V = xcfg.n_token
+    M = mems.hids.shape[4]
+    C = min(DECODE_CHUNK, length)
+    P = (-M) % 128                       # front pad -> aligned lanes
+
+    # per-step gumbel noise of the oracle's exact rng stream
+    def g_of(step_rng):
+        rs = jax.random.split(step_rng, bsz)
+        return jax.vmap(
+            lambda r: jax.random.gumbel(r, (V,), jnp.float32))(rs)
+
+    g_all = jax.vmap(g_of)(rngs)                      # [length, bsz, V]
+
+    def dense(x):  # [h, b, M, dh] -> [b, M, hd]
+        return x.transpose(1, 2, 0, 3).reshape(bsz, M, hd)
+
+    K = jnp.stack([dense(mems.hids[i, 0]) for i in range(L)])
+    Vb = jnp.stack([dense(mems.hids[i, 1]) for i in range(L)])
+    R = xl.precompute_r_heads(params, xcfg, M + 1).reshape(L, M + 1, hd)
+    if P:
+        R = jnp.concatenate(
+            [jnp.zeros((L, P, hd), R.dtype), R], axis=1)
+    stacked = pdec.stack_decode_params(params, xcfg)
+    count = mems.count.astype(jnp.int32)
+    ids = first_token.astype(jnp.int32)[:, None]
+    er = empty0.astype(jnp.int32)[:, None]
+
+    def run_chunk(K, Vb, count, ids, er, g_c, n):
+        if P:
+            zpad = jnp.zeros((L, bsz, P, hd), K.dtype)
+            K_p = jnp.concatenate([zpad, K], axis=2)
+            V_p = jnp.concatenate([zpad, Vb], axis=2)
+        else:
+            K_p, V_p = K, Vb
+        return pgen.fused_generate_chunk(stacked, xcfg, scfg, K_p, V_p,
+                                         R, ids, er, g_c, count, n)
+
+    n_full, rem = divmod(length, C)
+    pieces = []
+    if n_full:
+        def outer(carry, g_c):
+            ids, er, K, Vb, count = carry
+            ids, er, toks, sk, sv = run_chunk(K, Vb, count, ids, er,
+                                              g_c, C)
+            K = jnp.concatenate([K[:, :, C:], sk], axis=2)
+            Vb = jnp.concatenate([Vb[:, :, C:], sv], axis=2)
+            return (ids, er, K, Vb,
+                    jnp.minimum(count + C, M)), toks
+
+        (ids, er, K, Vb, count), toks = jax.lax.scan(
+            outer, (ids, er, K, Vb, count),
+            g_all[:n_full * C].reshape(n_full, C, bsz, V))
+        pieces.append(toks.reshape(n_full * C, bsz))
+    if rem:
+        ids, er, toks, sk, sv = run_chunk(K, Vb, count, ids, er,
+                                          g_all[n_full * C:], rem)
+        K = jnp.concatenate([K[:, :, rem:], sk], axis=2)
+        Vb = jnp.concatenate([Vb[:, :, rem:], sv], axis=2)
+        count = jnp.minimum(count + rem, M)
+        pieces.append(toks)
+    tokens = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+
+    def heads(x):  # [b, M, hd] -> [h, b, M, dh]
+        return x.reshape(bsz, M, h, dh).transpose(2, 0, 1, 3)
+
+    hids = jnp.stack([
+        jnp.stack([heads(K[i]), heads(Vb[i])], axis=0) for i in range(L)])
+    return tokens, xl.XLMems(hids=hids, count=count)
 
 
 sample_scan_jit = jax.jit(
