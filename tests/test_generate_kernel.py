@@ -112,3 +112,19 @@ def test_nucleus_stays_on_jnp_path():
     key = jax.random.PRNGKey(1)
     toks, _ = _run(params, xcfg_fused, scfg, 8, 1, 32, key)
     assert toks.shape == (8, 1)
+
+
+def test_gumbel_metrics_generation_matches_oracle(monkeypatch):
+    """generate_tokens_gumbel (quality-metrics sampling) on the fused
+    kernel must sample the exact ids of the jnp chunked path (same
+    pre-transformed gumbel stream, argmax(l + g) with T cancelling)."""
+    monkeypatch.setattr(pgen, "INTERPRET", True)
+    xcfg_jnp, xcfg_fused, params = _setup()
+    first = jnp.full((2,), 2, jnp.int32)
+    key = jax.random.PRNGKey(9)
+    mems_j = xl.init_mems(xcfg_jnp, 40, 2)
+    ref = isample.generate_tokens_gumbel(params, xcfg_jnp, 0.9, 41,
+                                         first, mems_j, key)
+    got = isample.generate_tokens_gumbel(params, xcfg_fused, 0.9, 41,
+                                         first, mems_j, key)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -246,6 +246,37 @@ def _sample_scan_fused(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     as argmax(z + G) over the kept set, which equals
     ``categorical(log softmax(z) masked)`` because softmax is monotone
     and logsumexp is constant per row."""
+    # per-step gumbel noise of the oracle's exact rng stream
+    bsz = first_token.shape[0]
+    V = xcfg.n_token
+
+    def g_of(step_rng):
+        rs = jax.random.split(step_rng, bsz)
+        return jax.vmap(
+            lambda r: jax.random.gumbel(r, (V,), jnp.float32))(rs)
+
+    g_all = jax.vmap(g_of)(rngs)                      # [length, bsz, V]
+    tokens, K, Vb, count = _fused_sample_loop(
+        params, xcfg, scfg, first_token, mems, length, g_all, empty0,
+        same_length=True)
+
+    h, dh = xcfg.n_head, xcfg.d_head
+    M = mems.hids.shape[4]
+
+    def heads(x):  # [b, M, hd] -> [h, b, M, dh]
+        return x.reshape(bsz, M, h, dh).transpose(2, 0, 1, 3)
+
+    hids = jnp.stack([
+        jnp.stack([heads(K[i]), heads(Vb[i])], axis=0)
+        for i in range(xcfg.n_layer)])
+    return tokens, xl.XLMems(hids=hids, count=count)
+
+
+def _fused_sample_loop(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
+                       first_token, mems: xl.XLMems, length: int, g_all,
+                       empty0, *, same_length: bool):
+    """Chunked loop over the fused generation kernel. Returns
+    (tokens [length, bsz], K, Vb dense lane buffers, count)."""
     from ..ops import pallas_decode as pdec
     from ..ops import pallas_generate as pgen
 
@@ -257,14 +288,6 @@ def _sample_scan_fused(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     M = mems.hids.shape[4]
     C = min(DECODE_CHUNK, length)
     P = (-M) % 128                       # front pad -> aligned lanes
-
-    # per-step gumbel noise of the oracle's exact rng stream
-    def g_of(step_rng):
-        rs = jax.random.split(step_rng, bsz)
-        return jax.vmap(
-            lambda r: jax.random.gumbel(r, (V,), jnp.float32))(rs)
-
-    g_all = jax.vmap(g_of)(rngs)                      # [length, bsz, V]
 
     def dense(x):  # [h, b, M, dh] -> [b, M, hd]
         return x.transpose(1, 2, 0, 3).reshape(bsz, M, hd)
@@ -288,7 +311,8 @@ def _sample_scan_fused(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
         else:
             K_p, V_p = K, Vb
         return pgen.fused_generate_chunk(stacked, xcfg, scfg, K_p, V_p,
-                                         R, ids, er, g_c, count, n)
+                                         R, ids, er, g_c, count, n,
+                                         same_length=same_length)
 
     n_full, rem = divmod(length, C)
     pieces = []
@@ -314,13 +338,7 @@ def _sample_scan_fused(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
         count = jnp.minimum(count + rem, M)
         pieces.append(toks)
     tokens = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
-
-    def heads(x):  # [b, M, hd] -> [h, b, M, dh]
-        return x.reshape(bsz, M, h, dh).transpose(2, 0, 1, 3)
-
-    hids = jnp.stack([
-        jnp.stack([heads(K[i]), heads(Vb[i])], axis=0) for i in range(L)])
-    return tokens, xl.XLMems(hids=hids, count=count)
+    return tokens, K, Vb, count
 
 
 sample_scan_jit = jax.jit(
@@ -346,8 +364,31 @@ def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
         return first_token[None, :]
 
     if xcfg.cache_kv:
+        from ..ops import pallas_generate as pgen
         C = min(DECODE_CHUNK, length)
         bsz = first_token.shape[0]
+        # gumbel-argmax == categorical at T=1 with no logit surgery:
+        # argmax(l + g) for the pre-transformed gumbel g of THIS path's
+        # rng stream (gumbel_softmax_st's (1, bsz, V) uniform draws) —
+        # routes onto the fused generation kernel, same_length=False
+        scfg_g = SamplingConfig(technique="random", temperature=1.0,
+                                exclude_bos=False, num_empty_to_ignore=0)
+        if pgen.supports_fused_generate(xcfg, scfg_g, bsz,
+                                        mems.hids.shape[4], C):
+            V = xcfg.n_token
+            eps = 1e-20
+
+            def g_of(step_rng):
+                u = jax.random.uniform(step_rng, (1, bsz, V),
+                                       dtype=jnp.float32)[0]
+                return -jnp.log(-jnp.log(u + eps) + eps)
+
+            g_all = jax.vmap(g_of)(rngs)
+            tokens, _, _, _ = _fused_sample_loop(
+                params, xcfg, scfg_g, first_token, mems, length, g_all,
+                jnp.zeros_like(first_token), same_length=False)
+            return jnp.concatenate([first_token[None, :], tokens],
+                                   axis=0)
         state0 = xl.decode_state_from_mems(params, xcfg, mems)
 
         def run_chunk(state, token, chunk_rngs, n):

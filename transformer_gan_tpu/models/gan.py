@@ -733,7 +733,13 @@ def score_chunk(dis_params, dis_cfg, gcfg: GanConfig, real_ids, fake_soft,
     """(d_out_real, d_out_fake) for one chunk.
 
     real_ids: [len, bsz] ids; fake_soft: [len, bsz, V] one-hot/soft.
-    """
+
+    Real and fake are scored in ONE batched discriminator call ([2b]
+    rows) — per-sample semantics are identical (no cross-batch ops in
+    either discriminator) and it halves the serialized per-call op
+    tail on TPU; only the dropout rng consumption differs from two
+    separate calls (one draw over the concatenated batch)."""
+    bsz = real_ids.shape[1]
     if gcfg.dis_type == "bert":
         emb_matrix = dis_params["word_embeddings"]  # [V+1, h]
         real_bt = real_ids.T                        # [bsz, len]
@@ -744,26 +750,21 @@ def score_chunk(dis_params, dis_cfg, gcfg: GanConfig, real_ids, fake_soft,
                                 fake_bt.dtype)], -1)
         emb_real = emb_matrix[real_bt]
         emb_fake = jnp.einsum("ve,bcv->bce", emb_matrix, fake_bt)
-        r1 = r2 = None
-        if rng is not None:
-            r1, r2 = jax.random.split(rng)
-        d_real = bert_mod.bert_discriminator_score(
-            dis_params, dis_cfg, emb_real, train=train, rng=r1)
-        d_fake = bert_mod.bert_discriminator_score(
-            dis_params, dis_cfg, emb_fake, train=train, rng=r2)
-        return d_real, d_fake
+        both = jnp.concatenate(
+            [emb_real.astype(emb_fake.dtype), emb_fake], axis=0)
+        d_both = bert_mod.bert_discriminator_score(
+            dis_params, dis_cfg, both, train=train, rng=rng)
+        return d_both[:bsz], d_both[bsz:]
     elif gcfg.dis_type == "cnn":
         real_soft = jax.nn.one_hot(real_ids.T, gcfg.n_token,
                                    dtype=fake_soft.dtype)
         fake_bt = fake_soft.transpose(1, 0, 2)
-        r1 = r2 = None
-        if rng is not None:
-            r1, r2 = jax.random.split(rng)
-        d_real = disc_mod.relgan_logits(dis_params, dis_cfg, real_soft,
-                                        train=train, rng=r1)
-        d_fake = disc_mod.relgan_logits(dis_params, dis_cfg, fake_bt,
-                                        train=train, rng=r2)
-        return d_real, d_fake
+        both = jnp.concatenate([real_soft, fake_bt], axis=0)
+        d_both = disc_mod.relgan_logits(dis_params, dis_cfg, both,
+                                        train=train, rng=rng)
+        # RelGAN emits num_rep scores per row: [2b*rep] row-major
+        return d_both[:d_both.shape[0] // 2], \
+            d_both[d_both.shape[0] // 2:]
     raise NotImplementedError(gcfg.dis_type)
 
 

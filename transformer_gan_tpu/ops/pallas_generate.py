@@ -89,7 +89,7 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 x_ref, tmp_ref, qhw_ref, qhr_ref, ids_s, er_s, *,
                 T, L, NB, B, M, C, V, HD, pre_lnorm, cdtype, eps_ln,
                 scale, technique, topk, temperature, exclude_bos,
-                num_empty, empty_token):
+                num_empty, empty_token, same_length):
     t = pl.program_id(0)
     li = pl.program_id(1)
     count = sc_ref[0]
@@ -160,9 +160,10 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                  .astype(jnp.float32)
              + bd_cat) * scale                                 # [B,H,KL]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, H, M + C), 2)
-    # same_length=True decode mask (decode_chunk_step sl=1): big lanes
-    # j < max(M - count, t + 1); staged lanes s > t
-    masked = (((lane < M) & (lane < jnp.maximum(M - count, t + 1)))
+    # decode mask (decode_chunk_step): big lanes j < max(M - count,
+    # t + sl) with sl = 1 under same_length; staged lanes s > t
+    sl = 1 if same_length else 0
+    masked = (((lane < M) & (lane < jnp.maximum(M - count, t + sl)))
               | ((lane >= M) & (lane > M + t)))
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
     score = jnp.where(masked, neg, score)
@@ -255,14 +256,15 @@ def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
 @functools.lru_cache(maxsize=None)
 def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                    eps_ln, scale, technique, topk, temperature,
-                   exclude_bos, num_empty, empty_token, interpret):
+                   exclude_bos, num_empty, empty_token, same_length,
+                   interpret):
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _gen_kernel, T=T, L=L, NB=1, B=B, M=M, C=C, V=V, HD=HD,
         pre_lnorm=pre_lnorm, cdtype=cdtype, eps_ln=eps_ln, scale=scale,
         technique=technique, topk=topk, temperature=temperature,
         exclude_bos=exclude_bos, num_empty=num_empty,
-        empty_token=empty_token)
+        empty_token=empty_token, same_length=same_length)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda t, l, *_: (0,) * len(shape),
@@ -337,7 +339,7 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
 
 
 def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
-                         count, n: int):
+                         count, n: int, same_length: bool = True):
     """Sample ``n`` tokens in one launch.
 
     K/Vb [L, B, M, HD]; R [L, M+1, HD]; ids/er [B, 1] int32;
@@ -353,7 +355,7 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
         1.0 / (cfg.d_head ** 0.5),
         scfg.technique, int(scfg.topk), float(scfg.temperature),
         bool(scfg.exclude_bos), int(scfg.num_empty_to_ignore),
-        int(scfg.empty_token), INTERPRET)
+        int(scfg.empty_token), bool(same_length), INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, er_f, toks, sk, sv = call(
         sc, ids, er, g,
