@@ -1,0 +1,76 @@
+"""On-chip timing + agreement of the fused generation kernel
+(ops/pallas_generate.py) vs the jnp chunked decode at the reference
+unconditional op-point (mem 4146, top-k 32, T 0.95).
+
+Run ALONE (one TPU process rule):
+    python tools/generate_kernel_tpu.py [--quick] [--lanes N]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_gan_tpu.infer import sample as isample
+from transformer_gan_tpu.models import xl
+from transformer_gan_tpu.ops import pallas_generate as pgen
+
+
+def main():
+    quick = "--quick" in sys.argv
+    lanes = 1
+    if "--lanes" in sys.argv:
+        lanes = int(sys.argv[sys.argv.index("--lanes") + 1])
+    xcfg = xl.XLConfig(compute_dtype="bfloat16", cache_kv=True,
+                       use_pallas=True)
+    params = xl.init_xl_params(xcfg, seed=0)
+    scfg = isample.SamplingConfig(technique="topk", topk=32,
+                                  temperature=0.95)
+    mem_len = 4146
+    length = 1024 if quick else 2048
+    first = jnp.full((lanes,), 2, jnp.int32)
+    mems = xl.init_mems(xcfg, mem_len, lanes)
+
+    results = {}
+    for name, force_jnp in (("fused", False), ("jnp", True)):
+        if force_jnp:
+            orig = pgen.supports_fused_generate
+            pgen.supports_fused_generate = lambda *a, **k: False
+        try:
+            t0 = time.time()
+            toks, _ = isample.sample_scan_jit(
+                params, xcfg, scfg, first, mems, length,
+                jax.random.PRNGKey(0))
+            toks_np = np.asarray(toks)
+            print(f"gen[{name}] compile+first: {time.time()-t0:.1f}s",
+                  flush=True)
+            iters = 1 if quick else 2
+            t0 = time.time()
+            for i in range(iters):
+                toks, _ = isample.sample_scan_jit(
+                    params, xcfg, scfg, first, mems, length,
+                    jax.random.PRNGKey(1))
+            toks_np = np.asarray(toks)
+            dt = (time.time() - t0) / iters
+            print(f"gen[{name}]: {length * lanes / dt:.1f} events/s "
+                  f"({dt / length * 1e6:.0f} us/token, {lanes} lane(s))",
+                  flush=True)
+            results[name] = toks_np
+        finally:
+            if force_jnp:
+                pgen.supports_fused_generate = orig
+
+    a, b = results["fused"], results["jnp"]
+    agree = float((a == b).mean())
+    print(f"sampled-id agreement fused vs jnp: {agree*100:.2f}% "
+          f"(bf16 near-tie flips cascade within a lane)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
