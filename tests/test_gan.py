@@ -362,3 +362,50 @@ def test_chunked_gan_dis_loss_matches_rolling():
                     jax.tree_util.tree_leaves(g_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_batched_scoring_matches_two_calls():
+    """score_chunk's single [2b]-row discriminator call must produce the
+    same (d_real, d_fake) as two separate calls (no cross-batch ops in
+    either discriminator); dropout off where the rng consumption
+    differs."""
+    rng = np.random.RandomState(5)
+    real_ids = jnp.asarray(rng.randint(2, 310, (12, 6)))
+    fake = jax.nn.one_hot(
+        jnp.asarray(rng.randint(2, 310, (12, 6))), 310,
+        dtype=jnp.float32)
+    # CNN / RelGAN
+    gcfg = gan_mod.GanConfig(dis_type="cnn", loss_type="rsgan",
+                             n_token=310)
+    rcfg = disc_mod.RelganConfig(embed_dim=16, num_rep=4, vocab_size=310)
+    dp = disc_mod.init_relgan_params(rcfg, seed=1)
+    d_r, d_f = gan_mod.score_chunk(dp, rcfg, gcfg, real_ids, fake)
+    ref_r = disc_mod.relgan_logits(
+        dp, rcfg, jax.nn.one_hot(real_ids.T, 310, dtype=jnp.float32))
+    ref_f = disc_mod.relgan_logits(dp, rcfg, fake.transpose(1, 0, 2))
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(ref_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-6)
+    # BERT critic
+    from transformer_gan_tpu.models import bert as bert_mod
+    bcfg = bert_mod.BertConfig(vocab_size=311, hidden_size=32,
+                               num_hidden_layers=2,
+                               num_attention_heads=2,
+                               intermediate_size=64)
+    bp = bert_mod.init_bert_params(bcfg, seed=3)
+    gcfg_b = gan_mod.GanConfig(dis_type="bert", loss_type="wgan-gp",
+                               n_token=310)
+    d_r, d_f = gan_mod.score_chunk(bp, bcfg, gcfg_b, real_ids, fake)
+    emb = bp["word_embeddings"]
+    ref_r = bert_mod.bert_discriminator_score(bp, bcfg, emb[real_ids.T])
+    fake_bt = fake.transpose(1, 0, 2)
+    fake_bt = jnp.concatenate(
+        [fake_bt, jnp.zeros(fake_bt.shape[:-1] + (1,), fake_bt.dtype)],
+        -1)
+    ref_f = bert_mod.bert_discriminator_score(
+        bp, bcfg, jnp.einsum("ve,bcv->bce", emb, fake_bt))
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(ref_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-6)
