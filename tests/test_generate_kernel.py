@@ -7,8 +7,6 @@ oracle's per-lane keys (exactly what jax.random.categorical draws), and
 softmax monotonicity makes the kept set and the argmax equal the
 oracle's — so sampled ids match id-for-id."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
