@@ -62,6 +62,14 @@ _ROLL_BITS = (1, 2, 4, 8, 16)
 _VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is far larger than the
                                  # conservative Mosaic default
 
+# Whole-chunk sampler operand mode: True keeps weights/K/V/staging as
+# full resident operands read with the traced layer index (fetched once
+# per launch); False streams index-map-selected per-(l[,b]) blocks (the
+# pattern every proven kernel uses; staging round-trips through HBM
+# between layer phases). Flip if the resident lowering misbehaves on a
+# given toolchain.
+RESIDENT = True
+
 
 def _ln(x, scale_row, bias_row, eps):
     """layer_norm matching models/attention.py:20-29 (fp32 internals)."""
@@ -390,7 +398,7 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
                          ids_out, oh_out, sk_out, sv_out,
                          x_ref, tmp_ref, qhw_ref, qhr_ref, ids_s, *,
                          T, L, NB, BB, M, C, V, HD, pre_lnorm, cdtype,
-                         eps_ln, scale):
+                         eps_ln, scale, resident):
     """Whole-chunk sampler: grid (T, L, NB) — the T-token sequential
     sampling loop lives INSIDE one pallas_call. Differences from the
     per-token ``_decode_kernel``:
@@ -413,6 +421,11 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
     count = sc_ref[0]
     B = NB * BB
     bs = pl.multiple_of(bb * BB, BB)
+    # resident mode: weights/K/V/staging are full operands read with the
+    # traced layer index (fetched once per launch); streamed mode:
+    # index-map-selected per-(l[,b]) blocks (the proven pattern; staging
+    # round-trips through HBM between layer phases)
+    wl = li if resident else 0
 
     @pl.when(jnp.logical_and(t == 0,
                              jnp.logical_and(li == 0, bb == 0)))
@@ -423,8 +436,12 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
     # would otherwise reach the ctx dot as 0 * NaN
     @pl.when(t == 0)
     def _():
-        sk_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
-        sv_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
+        if resident:
+            sk_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
+            sv_out[li, pl.ds(bs, BB)] = jnp.zeros((BB, C, HD), cdtype)
+        else:
+            sk_out[0] = jnp.zeros((BB, C, HD), cdtype)
+            sv_out[0] = jnp.zeros((BB, C, HD), cdtype)
 
     # ---- embed the previous token (once per t, before layer 0) ----
     @pl.when(jnp.logical_and(li == 0, bb == 0))
@@ -435,28 +452,35 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
 
     x = x_ref[pl.ds(bs, BB), :]                                # [BB, HD]
     if pre_lnorm:
-        w_in = _ln(x, lnas_ref[li], lnab_ref[li], eps_ln)
+        w_in = _ln(x, lnas_ref[wl], lnab_ref[wl], eps_ln)
     else:
         w_in = x
 
-    q = _dot(w_in, qw_ref[li]).astype(cdtype)                  # [BB, HD]
-    k = _dot(w_in, kw_ref[li]).astype(cdtype)
-    v = _dot(w_in, vw_ref[li]).astype(cdtype)
+    q = _dot(w_in, qw_ref[wl]).astype(cdtype)                  # [BB, HD]
+    k = _dot(w_in, kw_ref[wl]).astype(cdtype)
+    v = _dot(w_in, vw_ref[wl]).astype(cdtype)
 
     # staged K/V ring write at chunk slot t (per-row, see _decode_kernel)
+    def st_idx(b):
+        return (li, bs + b) if resident else (0, b)
+
     srow = jax.lax.broadcasted_iota(jnp.int32, (C, HD), 0)
     tmp_ref[:] = k
     for b in range(BB):
-        sk_out[li, bs + b] = jnp.where(
+        sk_out[st_idx(b)] = jnp.where(
             srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
-            sk_out[li, bs + b])
+            sk_out[st_idx(b)])
     tmp_ref[:] = v
     for b in range(BB):
-        sv_out[li, bs + b] = jnp.where(
+        sv_out[st_idx(b)] = jnp.where(
             srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
-            sv_out[li, bs + b])
-    sk_new = sk_out[li, pl.ds(bs, BB)]                         # [BB,C,HD]
-    sv_new = sv_out[li, pl.ds(bs, BB)]
+            sv_out[st_idx(b)])
+    if resident:
+        sk_new = sk_out[li, pl.ds(bs, BB)]                     # [BB,C,HD]
+        sv_new = sv_out[li, pl.ds(bs, BB)]
+    else:
+        sk_new = sk_out[0]
+        sv_new = sv_out[0]
 
     # ---- relative-position attention over big cache + staging ----
     mh = mh_ref[:].astype(cdtype)                              # [H, HD]
@@ -469,12 +493,16 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
     qHw = qhw_ref[:]                                           # [BB,H,HD]
     qHr = qhr_ref[:]
 
-    k_big = k_ref[li, pl.ds(bs, BB)]                           # [BB,M,HD]
-    v_big = v_ref[li, pl.ds(bs, BB)]
+    if resident:
+        k_big = k_ref[li, pl.ds(bs, BB)]                       # [BB,M,HD]
+        v_big = v_ref[li, pl.ds(bs, BB)]
+    else:
+        k_big = k_ref[0]
+        v_big = v_ref[0]
     ac_big = _bdot(qHw, k_big).astype(cdtype)                  # [BB,H,M]
     ac_st = _bdot(qHw, sk_new).astype(cdtype)                  # [BB,H,C]
     bd_rev = jax.lax.dot_general(
-        qHr, r_ref[li], (((2,), (1,)), ((), ())),
+        qHr, r_ref[wl], (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [BB,H,M+1]
     H = mh.shape[0]
     bd_pad = (jnp.concatenate(
@@ -501,20 +529,20 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
     ctx = jnp.sum(ctx_h * mh[None].astype(jnp.float32),
                   axis=1).astype(cdtype)                       # [BB, HD]
 
-    attn = _dot(ctx, ow_ref[li]).astype(cdtype)
+    attn = _dot(ctx, ow_ref[wl]).astype(cdtype)
     if pre_lnorm:
         out = x + attn
-        ff_in = _ln(out, lnfs_ref[li], lnfb_ref[li], eps_ln)
+        ff_in = _ln(out, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
     else:
-        out = _ln(x + attn, lnas_ref[li], lnab_ref[li], eps_ln)
+        out = _ln(x + attn, lnas_ref[wl], lnab_ref[wl], eps_ln)
         ff_in = out
-    ff = jax.nn.relu(_dot(ff_in, ff1_ref[li]).astype(cdtype)
-                     + fb1_ref[li].astype(cdtype))
-    ff = _dot(ff, ff2_ref[li]).astype(cdtype) + fb2_ref[li].astype(cdtype)
+    ff = jax.nn.relu(_dot(ff_in, ff1_ref[wl]).astype(cdtype)
+                     + fb1_ref[wl].astype(cdtype))
+    ff = _dot(ff, ff2_ref[wl]).astype(cdtype) + fb2_ref[wl].astype(cdtype)
     if pre_lnorm:
         x_new = out + ff
     else:
-        x_new = _ln(out + ff, lnfs_ref[li], lnfb_ref[li], eps_ln)
+        x_new = _ln(out + ff, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
     x_ref[pl.ds(bs, BB), :] = x_new.astype(cdtype)
 
     # ---- logits + gumbel argmax (once per t, after the last layer) ----
@@ -538,12 +566,12 @@ def _decode_chunk_kernel(sc_ref, ids0_ref, g_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_decode_chunk_call(T, L, NB, BB, M, C, V, HD, DI, H, pre_lnorm,
-                            cdtype, eps_ln, scale, interpret):
+                            cdtype, eps_ln, scale, resident, interpret):
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _decode_chunk_kernel, T=T, L=L, NB=NB, BB=BB, M=M, C=C, V=V,
         HD=HD, pre_lnorm=pre_lnorm, cdtype=cdtype, eps_ln=eps_ln,
-        scale=scale)
+        scale=scale, resident=resident)
     B = NB * BB
 
     def full(shape):
@@ -555,27 +583,43 @@ def _make_decode_chunk_call(T, L, NB, BB, M, C, V, HD, DI, H, pre_lnorm,
                             lambda t, l, b, *_: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    def per_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda t, l, b, *_: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_lb(shape):
+        return pl.BlockSpec((1, BB) + shape,
+                            lambda t, l, b, *_: (l, b)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    wspec = full if resident else per_l
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, L, NB),
         in_specs=[
             full((B, 1)),            # seed ids
             per_t((B, V)),           # gumbel g per step
-            full((L, B, M, HD)),     # K big (resident)
-            full((L, B, M, HD)),     # V big (resident)
-            full((L, M + 1, HD)),    # R positional projections
-            full((L, HD, HD)),       # q_w
-            full((L, HD, HD)),       # k_w
-            full((L, HD, HD)),       # v_w
-            full((L, HD, HD)),       # o_w
-            full((L, HD, DI)),       # ff_w1
-            full((L, 1, DI)),        # ff_b1
-            full((L, DI, HD)),       # ff_w2
-            full((L, 1, HD)),        # ff_b2
-            full((L, 1, HD)),        # attn_ln_scale
-            full((L, 1, HD)),        # attn_ln_bias
-            full((L, 1, HD)),        # ff_ln_scale
-            full((L, 1, HD)),        # ff_ln_bias
+            (full((L, B, M, HD)) if resident
+             else per_lb((M, HD))),  # K big
+            (full((L, B, M, HD)) if resident
+             else per_lb((M, HD))),  # V big
+            (full((L, M + 1, HD)) if resident
+             else per_l((M + 1, HD))),   # R positional projections
+            wspec((L, HD, HD)) if resident else wspec((HD, HD)),   # q_w
+            wspec((L, HD, HD)) if resident else wspec((HD, HD)),   # k_w
+            wspec((L, HD, HD)) if resident else wspec((HD, HD)),   # v_w
+            wspec((L, HD, HD)) if resident else wspec((HD, HD)),   # o_w
+            wspec((L, HD, DI)) if resident else wspec((HD, DI)),   # ff_w1
+            wspec((L, 1, DI)) if resident else wspec((1, DI)),     # ff_b1
+            wspec((L, DI, HD)) if resident else wspec((DI, HD)),   # ff_w2
+            wspec((L, 1, HD)) if resident else wspec((1, HD)),     # ff_b2
+            wspec((L, 1, HD)) if resident else wspec((1, HD)),     # ln_as
+            wspec((L, 1, HD)) if resident else wspec((1, HD)),     # ln_ab
+            wspec((L, 1, HD)) if resident else wspec((1, HD)),     # ln_fs
+            wspec((L, 1, HD)) if resident else wspec((1, HD)),     # ln_fb
             full((1, HD)),           # r_w_bias
             full((1, HD)),           # r_r_bias
             full((H, HD)),           # head mask
@@ -586,8 +630,10 @@ def _make_decode_chunk_call(T, L, NB, BB, M, C, V, HD, DI, H, pre_lnorm,
         out_specs=[
             full((B, 1)),            # final ids
             per_t((B, V)),           # one-hots per step
-            full((L, B, C, HD)),     # staged K (ring buffer in VMEM)
-            full((L, B, C, HD)),     # staged V
+            (full((L, B, C, HD)) if resident
+             else per_lb((C, HD))),  # staged K ring
+            (full((L, B, C, HD)) if resident
+             else per_lb((C, HD))),  # staged V ring
         ],
         scratch_shapes=[pltpu.VMEM((B, HD), cdtype),
                         pltpu.VMEM((BB, HD), cdtype),
@@ -649,7 +695,7 @@ def fused_decode_chunk(stacked, cfg, K, Vb, R, ids, g, count, n: int):
     call = _make_decode_chunk_call(
         n, L, B // BB, BB, M, C, V, HD, cfg.d_inner, cfg.n_head,
         bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
-        1.0 / (cfg.d_head ** 0.5), INTERPRET)
+        1.0 / (cfg.d_head ** 0.5), RESIDENT, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, oh, sk, sv = call(
         sc, ids, g,

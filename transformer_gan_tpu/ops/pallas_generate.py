@@ -53,6 +53,12 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _NEG = -1e30                     # python literal: jnp module-level
                                  # constants get captured as tracers
 
+# True: weights + positional projections as full resident operands read
+# with the traced layer index (fetched once per launch); False: per-l
+# index-map blocks (proven pattern, refetched per (t, l)). See
+# pallas_decode.RESIDENT.
+RESIDENT = True
+
 
 def _ln(x, scale_row, bias_row, eps):
     x32 = x.astype(jnp.float32)
@@ -89,10 +95,11 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 x_ref, tmp_ref, qhw_ref, qhr_ref, ids_s, er_s, *,
                 T, L, NB, B, M, C, V, HD, pre_lnorm, cdtype, eps_ln,
                 scale, technique, topk, temperature, exclude_bos,
-                num_empty, empty_token, same_length):
+                num_empty, empty_token, same_length, resident):
     t = pl.program_id(0)
     li = pl.program_id(1)
     count = sc_ref[0]
+    wl = li if resident else 0
 
     @pl.when(jnp.logical_and(t == 0, li == 0))
     def _():
@@ -113,13 +120,13 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
 
     x = x_ref[:]                                               # [B, HD]
     if pre_lnorm:
-        w_in = _ln(x, lnas_ref[li], lnab_ref[li], eps_ln)
+        w_in = _ln(x, lnas_ref[wl], lnab_ref[wl], eps_ln)
     else:
         w_in = x
 
-    q = _dot(w_in, qw_ref[li]).astype(cdtype)                  # [B, HD]
-    k = _dot(w_in, kw_ref[li]).astype(cdtype)
-    v = _dot(w_in, vw_ref[li]).astype(cdtype)
+    q = _dot(w_in, qw_ref[wl]).astype(cdtype)                  # [B, HD]
+    k = _dot(w_in, kw_ref[wl]).astype(cdtype)
+    v = _dot(w_in, vw_ref[wl]).astype(cdtype)
 
     srow = jax.lax.broadcasted_iota(jnp.int32, (C, HD), 0)
     tmp_ref[:] = k
@@ -148,7 +155,7 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
     ac_big = _bdot(qHw, k_ref[0]).astype(cdtype)               # [B,H,M]
     ac_st = _bdot(qHw, sk_new).astype(cdtype)                  # [B,H,C]
     bd_rev = jax.lax.dot_general(
-        qHr, r_ref[li], (((2,), (1,)), ((), ())),
+        qHr, r_ref[wl], (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [B,H,M+1]
     H = mh.shape[0]
     bd_pad = (jnp.concatenate(
@@ -178,20 +185,20 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
     ctx = jnp.sum(ctx_h * mh[None].astype(jnp.float32),
                   axis=1).astype(cdtype)                       # [B, HD]
 
-    attn = _dot(ctx, ow_ref[li]).astype(cdtype)
+    attn = _dot(ctx, ow_ref[wl]).astype(cdtype)
     if pre_lnorm:
         out = x + attn
-        ff_in = _ln(out, lnfs_ref[li], lnfb_ref[li], eps_ln)
+        ff_in = _ln(out, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
     else:
-        out = _ln(x + attn, lnas_ref[li], lnab_ref[li], eps_ln)
+        out = _ln(x + attn, lnas_ref[wl], lnab_ref[wl], eps_ln)
         ff_in = out
-    ff = jax.nn.relu(_dot(ff_in, ff1_ref[li]).astype(cdtype)
-                     + fb1_ref[li].astype(cdtype))
-    ff = _dot(ff, ff2_ref[li]).astype(cdtype) + fb2_ref[li].astype(cdtype)
+    ff = jax.nn.relu(_dot(ff_in, ff1_ref[wl]).astype(cdtype)
+                     + fb1_ref[wl].astype(cdtype))
+    ff = _dot(ff, ff2_ref[wl]).astype(cdtype) + fb2_ref[wl].astype(cdtype)
     if pre_lnorm:
         x_new = out + ff
     else:
-        x_new = _ln(out + ff, lnfs_ref[li], lnfb_ref[li], eps_ln)
+        x_new = _ln(out + ff, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
     x_ref[:] = x_new.astype(cdtype)
 
     # ---- logits + surgery + top-k threshold + categorical ----
@@ -257,14 +264,15 @@ def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
 def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                    eps_ln, scale, technique, topk, temperature,
                    exclude_bos, num_empty, empty_token, same_length,
-                   interpret):
+                   resident, interpret):
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _gen_kernel, T=T, L=L, NB=1, B=B, M=M, C=C, V=V, HD=HD,
         pre_lnorm=pre_lnorm, cdtype=cdtype, eps_ln=eps_ln, scale=scale,
         technique=technique, topk=topk, temperature=temperature,
         exclude_bos=exclude_bos, num_empty=num_empty,
-        empty_token=empty_token, same_length=same_length)
+        empty_token=empty_token, same_length=same_length,
+        resident=resident)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda t, l, *_: (0,) * len(shape),
@@ -280,6 +288,10 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                             lambda t, l, *_: (l,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    def wspec(shape):
+        # shape given WITHOUT the leading L; resident mode prepends it
+        return (full((L,) + shape) if resident else per_l(shape))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, L),
@@ -289,19 +301,19 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
             per_t((B, V)),           # gumbel noise per step
             per_l((B, M, HD)),       # K big (streamed per (t, l))
             per_l((B, M, HD)),       # V big
-            full((L, M + 1, HD)),    # R positional projections (resident)
-            full((L, HD, HD)),       # q_w (resident)
-            full((L, HD, HD)),       # k_w
-            full((L, HD, HD)),       # v_w
-            full((L, HD, HD)),       # o_w
-            full((L, HD, DI)),       # ff_w1
-            full((L, 1, DI)),        # ff_b1
-            full((L, DI, HD)),       # ff_w2
-            full((L, 1, HD)),        # ff_b2
-            full((L, 1, HD)),        # attn_ln_scale
-            full((L, 1, HD)),        # attn_ln_bias
-            full((L, 1, HD)),        # ff_ln_scale
-            full((L, 1, HD)),        # ff_ln_bias
+            wspec((M + 1, HD)),      # R positional projections
+            wspec((HD, HD)),         # q_w
+            wspec((HD, HD)),         # k_w
+            wspec((HD, HD)),         # v_w
+            wspec((HD, HD)),         # o_w
+            wspec((HD, DI)),         # ff_w1
+            wspec((1, DI)),          # ff_b1
+            wspec((DI, HD)),         # ff_w2
+            wspec((1, HD)),          # ff_b2
+            wspec((1, HD)),          # attn_ln_scale
+            wspec((1, HD)),          # attn_ln_bias
+            wspec((1, HD)),          # ff_ln_scale
+            wspec((1, HD)),          # ff_ln_bias
             full((1, HD)),           # r_w_bias
             full((1, HD)),           # r_r_bias
             full((H, HD)),           # head mask
@@ -355,7 +367,7 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
         1.0 / (cfg.d_head ** 0.5),
         scfg.technique, int(scfg.topk), float(scfg.temperature),
         bool(scfg.exclude_bos), int(scfg.num_empty_to_ignore),
-        int(scfg.empty_token), bool(same_length), INTERPRET)
+        int(scfg.empty_token), bool(same_length), RESIDENT, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, er_f, toks, sk, sv = call(
         sc, ids, er, g,
