@@ -32,6 +32,15 @@ import os
 import sys
 import time
 
+import jax
+
+# Claim the TPU IMMEDIATELY at process start: the pool pre-grants the
+# device when sitecustomize registers the backend at interpreter boot,
+# and the grant can expire within seconds ("grant unclaimed past
+# timeout") — initializing only after heavy imports risks a hang on a
+# degraded runtime (observed round 3).
+jax.devices()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASSUMED_REF_TOKENS_PER_S_PER_GPU = 12_000.0

@@ -12,6 +12,14 @@ Run ALONE (one TPU process rule):
 """
 from __future__ import annotations
 
+import jax
+
+# Claim the TPU IMMEDIATELY at process start: the pool pre-grants the
+# device when sitecustomize registers the backend at interpreter boot,
+# and the grant expires within seconds ("grant unclaimed past timeout
+# -- client lost") -- initializing after heavy imports hangs/fails.
+jax.devices()
+
 import json
 import os
 import sys
