@@ -312,7 +312,29 @@ def bench_gan(on_tpu: bool) -> dict:
 
 
 def bench_generation(on_tpu: bool) -> dict:
-    """Unconditional generation, reference inference op-point."""
+    """Unconditional generation, reference inference op-point.
+
+    Runs the fused generation kernel when supported; if that path fails
+    on this toolchain (first-compile risk recorded in PERF.md), falls
+    back to the chip-proven jnp chunked decode and reports which path
+    measured."""
+    try:
+        return _bench_generation_impl(on_tpu)
+    except Exception as e:
+        from transformer_gan_tpu.ops import pallas_generate as pgen
+        orig = pgen.supports_fused_generate
+        pgen.supports_fused_generate = lambda *a, **k: False
+        try:
+            out = _bench_generation_impl(on_tpu)
+            out["gen_path"] = (
+                f"jnp fallback (fused kernel failed: "
+                f"{type(e).__name__})")
+            return out
+        finally:
+            pgen.supports_fused_generate = orig
+
+
+def _bench_generation_impl(on_tpu: bool) -> dict:
     import jax
     import jax.numpy as jnp
 

@@ -13,6 +13,10 @@ Run ALONE (one TPU process rule):
 """
 from __future__ import annotations
 
+import os
+
+os.environ["TGTPU_CHUNK_SAMPLER"] = "1"   # this IS the validation run
+
 import jax
 
 # Claim the TPU IMMEDIATELY at process start: the pool pre-grants the

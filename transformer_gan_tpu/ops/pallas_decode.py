@@ -673,7 +673,18 @@ def decode_chunk_vmem_bytes(cfg, bsz: int, M: int, C: int) -> int:
 
 def supports_fused_decode_chunk(cfg, bsz: int, M: int, C: int) -> bool:
     """Gate for the whole-chunk sampler: per-token constraints plus the
-    resident operands must fit VMEM with headroom."""
+    resident operands must fit VMEM with headroom.
+
+    On real hardware the kernel additionally requires the
+    TGTPU_CHUNK_SAMPLER=1 opt-in until its first on-chip validation
+    recorded in PERF.md: a round-3 runtime outage prevented compiling
+    it on the chip, and a blind Mosaic failure inside the driver's
+    bench would cost the GAN metrics entirely — the per-token fused
+    kernel fallback is chip-proven. Interpret mode (CPU tests) is
+    always allowed. tools/chunk_sampler_tpu.py sets the opt-in itself."""
+    import os
+    if not INTERPRET and os.environ.get("TGTPU_CHUNK_SAMPLER") != "1":
+        return False
     return (supports_fused_decode(cfg, bsz, M, C)
             and decode_chunk_vmem_bytes(cfg, bsz, M, C)
             < int(_VMEM_LIMIT * 0.85))
