@@ -675,15 +675,13 @@ def supports_fused_decode_chunk(cfg, bsz: int, M: int, C: int) -> bool:
     """Gate for the whole-chunk sampler: per-token constraints plus the
     resident operands must fit VMEM with headroom.
 
-    On real hardware the kernel additionally requires the
-    TGTPU_CHUNK_SAMPLER=1 opt-in until its first on-chip validation
-    recorded in PERF.md: a round-3 runtime outage prevented compiling
-    it on the chip, and a blind Mosaic failure inside the driver's
-    bench would cost the GAN metrics entirely — the per-token fused
-    kernel fallback is chip-proven. Interpret mode (CPU tests) is
-    always allowed. tools/chunk_sampler_tpu.py sets the opt-in itself."""
+    Chip-validated (PERF.md "Whole-chunk sampler on chip"):
+    tools/chunk_sampler_tpu.py recorded 100% sampled-id agreement with
+    the per-token fused path and 45.2 ms vs 73.0 ms per 4-micro-chunk
+    sampling pass, so the kernel is on by default. Set
+    TGTPU_CHUNK_SAMPLER=0 to force the per-token fallback."""
     import os
-    if not INTERPRET and os.environ.get("TGTPU_CHUNK_SAMPLER") != "1":
+    if os.environ.get("TGTPU_CHUNK_SAMPLER") == "0":
         return False
     return (supports_fused_decode(cfg, bsz, M, C)
             and decode_chunk_vmem_bytes(cfg, bsz, M, C)
