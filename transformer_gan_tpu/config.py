@@ -147,6 +147,11 @@ def _model(cfg: CfgNode) -> CfgNode:
     cfg.MODEL.units = 500
     cfg.MODEL.inner_size = 1000
     cfg.MODEL.dropout = 0.1
+    # tie_embedding=False unties the softmax weight from the token
+    # embedding (separate crit_w parameter; mem_transformer.py:411-418).
+    # tie_proj is a structural no-op in the reference too: projections
+    # exist only when d_embed != d_model, which no config can produce
+    # (mem_transformer.py:416-418).
     cfg.MODEL.tie_embedding = True
     cfg.MODEL.tie_proj = False
     cfg.MODEL.attention_dropout = 0.1
@@ -189,6 +194,12 @@ def _discriminator(cfg: CfgNode) -> CfgNode:
     cfg.DISCRIMINATOR.start_iter = 100
     cfg.DISCRIMINATOR.dis_loss_freq = 50
     cfg.DISCRIMINATOR.gen_loss_freq = 10
+    # accepted for YAML parity, dead in the reference too: eval_loss_freq
+    # and src_mem_len are read by no reference code path, and
+    # backprop_outside only moves WHERE .backward() runs in torch
+    # (train.py:987,1071 vs transformer_gan.py:487-504) — gradients are
+    # identical; our per-chunk scan realizes the backprop_outside=True
+    # structure exactly.
     cfg.DISCRIMINATOR.eval_loss_freq = 10
     cfg.DISCRIMINATOR.freeze_discriminator = True
     cfg.DISCRIMINATOR.truncate_backprop = False
@@ -206,6 +217,13 @@ def _discriminator(cfg: CfgNode) -> CfgNode:
     cfg.DISCRIMINATOR.backprop_outside = True
     cfg.DISCRIMINATOR.src_mem_len = 200
 
+    # gen/dis dev_perf: the reference CREATES ReduceLROnPlateau
+    # schedulers from *_decay_rate/*_patience (train.py:524-531,560-567)
+    # but never steps them with a metric (only the MLE scheduler steps
+    # on val_nll, train.py:1329; the per-step dispatch at :1109-1133
+    # skips the dev_perf branch) — so dev_perf gen/dis LRs are constant
+    # in the reference, and the decay/patience keys are dead. Matched:
+    # make_schedule maps dev_perf to constant for these two.
     cfg.DISCRIMINATOR.gen_scheduler = "constant"
     cfg.DISCRIMINATOR.gen_lr_min = 0.0
     cfg.DISCRIMINATOR.gen_warmup_step = 0
@@ -224,6 +242,10 @@ def _discriminator(cfg: CfgNode) -> CfgNode:
     cfg.DISCRIMINATOR.BERT.learning_rate = 1e-5
     cfg.DISCRIMINATOR.BERT.weight_decay = 0.0
     cfg.DISCRIMINATOR.BERT.adam_epsilon = 1e-8
+    # max_grad_norm: dead in the reference (dis grads clip by TRAIN.clip,
+    # train.py:1002-1007). model_type only selects which HF class reads
+    # the checkpoint (transformer_gan.py:535-566); our orbax checkpoints
+    # are bare param trees, so the trunk load is format-independent.
     cfg.DISCRIMINATOR.BERT.max_grad_norm = 1.0
     cfg.DISCRIMINATOR.BERT.model_type = "bert_lm"
     cfg.DISCRIMINATOR.BERT.loss_type = "rsgan"
@@ -266,6 +288,9 @@ def _init(cfg: CfgNode) -> CfgNode:
     cfg.EVALUATE.tgt_length = 128
     cfg.EVALUATE.mem_length = 128
 
+    # event_type/trim_padding: accepted for YAML parity; no reference
+    # code path reads either (performance_event_repo's event_type is an
+    # unrelated note_seq field).
     cfg.DATASET = CfgNode()
     cfg.DATASET.event_type = "magenta"
     cfg.DATASET.trim_padding = False
@@ -279,7 +304,7 @@ def _init(cfg: CfgNode) -> CfgNode:
 
     cfg.PROBLEM = CfgNode()
     cfg.PROBLEM.type = "Null"
-    cfg.PROBLEM.melody_len = 1024
+    cfg.PROBLEM.melody_len = 1024  # dead in the reference (never read)
     return cfg
 
 

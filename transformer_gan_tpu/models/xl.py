@@ -45,6 +45,10 @@ class XLConfig:
     dropatt: float = 0.1
     pre_lnorm: bool = False
     clamp_len: int = -1
+    # MODEL.tie_embedding: share the softmax weight with the token
+    # embedding (reference mem_transformer.py:411-418). Untied adds a
+    # separate "crit_w" parameter (out_layers[0].weight).
+    tie_embedding: bool = True
     append_note_status: bool = False
     vec_len: int = 0
     compute_dtype: str = "float32"
@@ -66,6 +70,14 @@ class XLConfig:
 
     @classmethod
     def from_cfg(cls, cfg, n_token: int, vec_len: int = 0) -> "XLConfig":
+        pd = str(getattr(cfg.TPU, "param_dtype", "float32"))
+        if pd != "float32":
+            # master params are fp32 by design (the fused optimizer's
+            # raveled [P] state and the checkpoint schema assume it);
+            # fail loud instead of silently ignoring the key
+            raise NotImplementedError(
+                f"TPU.param_dtype={pd!r}: only float32 master parameters "
+                "are implemented (compute dtype is TPU.compute_dtype)")
         return cls(
             n_token=n_token,
             n_layer=cfg.MODEL.num_layers,
@@ -76,6 +88,7 @@ class XLConfig:
             dropatt=cfg.MODEL.attention_dropout,
             pre_lnorm=cfg.MODEL.pre_lnorm,
             clamp_len=cfg.MODEL.clamp_len,
+            tie_embedding=cfg.MODEL.tie_embedding,
             append_note_status=cfg.TRAIN.append_note_status,
             vec_len=vec_len,
             compute_dtype=cfg.TPU.compute_dtype,
@@ -171,6 +184,11 @@ def init_xl_params(cfg: XLConfig, seed: int = 0,
     params: dict[str, Any] = {
         "word_emb": weight((cfg.n_token, d)),
         "crit_bias": zeros((cfg.n_token,)),
+        # MODEL.tie_embedding=False: a separate softmax weight
+        # (reference out_layers[0] nn.Linear, initialized through the
+        # same Linear init_weight branch, train.py:306-315)
+        **({} if cfg.tie_embedding else {"crit_w": weight((cfg.n_token,
+                                                           d))}),
         "r_w_bias": weight((h, dh)),
         "r_r_bias": weight((h, dh)),
         "layers": [],
@@ -899,9 +917,11 @@ def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
 
 
 def compute_logits(params, cfg: XLConfig, hidden) -> jnp.ndarray:
-    """Tied-softmax logits (reference ProjectedAdaptiveLogSoftmax
-    _compute_logit with n_clusters==0; proj_adaptive_softmax.py:50-84)."""
-    w = params["word_emb"].astype(cfg.cdtype)
+    """Softmax logits (reference ProjectedAdaptiveLogSoftmax
+    _compute_logit with n_clusters==0; proj_adaptive_softmax.py:50-84).
+    Tied to the token embedding unless the params carry a separate
+    "crit_w" (MODEL.tie_embedding=False)."""
+    w = params.get("crit_w", params["word_emb"]).astype(cfg.cdtype)
     b = params["crit_bias"].astype(cfg.cdtype)
     return hidden @ w.T + b
 

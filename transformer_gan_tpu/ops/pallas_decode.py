@@ -383,7 +383,8 @@ def stack_decode_params(params, cfg):
         "rrb": params["r_r_bias"].astype(cd).reshape(1, hd),
         "mask_h": mask_h,
         "emb_scaled": emb * (cfg.d_model ** 0.5),
-        "emb_t": emb.T,
+        # logits weight: the embedding unless untied (crit_w present)
+        "emb_t": params.get("crit_w", params["word_emb"]).astype(cd).T,
         "crit_bias": params["crit_bias"].astype(cd)[None],
     }
 

@@ -42,6 +42,24 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(mesh_devices, ("data",))
 
 
+def make_mesh_from_cfg(cfg) -> Mesh:
+    """Build the device mesh from TPU.mesh_shape / TPU.mesh_axes.
+
+    The framework implements 1-D data parallelism (the reference's only
+    strategy, SURVEY §2.2); any other axis layout fails loud rather than
+    silently training unsharded. mesh_shape [-1] spans all devices; a
+    positive size takes the first N.
+    """
+    axes = list(getattr(cfg.TPU, "mesh_axes", ["data"]))
+    shape = list(getattr(cfg.TPU, "mesh_shape", [-1]))
+    if axes != ["data"] or len(shape) != 1:
+        raise NotImplementedError(
+            f"TPU.mesh_axes={axes} / mesh_shape={shape}: only the 1-D "
+            "['data'] mesh is implemented")
+    n = int(shape[0])
+    return make_mesh(n_devices=None if n <= 0 else n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """[tgt, bsz] batches: shard the batch axis."""
     return NamedSharding(mesh, P(None, "data"))
