@@ -57,13 +57,37 @@ def save_checkpoint(work_dir: str, name: str, payload: dict,
     return path
 
 
+def _leaf_sharding(x) -> jax.sharding.Sharding:
+    """Target sharding for a restored leaf: the template's own placement
+    when it is a placed jax.Array, else single-device on this process.
+
+    Checkpoints must be topology-independent (the reference's torch
+    checkpoints are): a run trained on an 8-device mesh must restore for
+    single-chip generation and vice versa, so restore NEVER relies on the
+    sharding metadata orbax recorded at save time."""
+    s = getattr(x, "sharding", None)
+    if isinstance(s, jax.sharding.Sharding):
+        return s
+    return jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+
 def load_checkpoint(path: str, template: Any | None = None) -> dict:
     path = os.path.abspath(path)
-    if template is not None:
+    if template is None:
+        # Build the abstract tree from the checkpoint's own array
+        # metadata (shapes/dtypes only — the saved device mesh is
+        # deliberately ignored, see _leaf_sharding).
+        meta = _ckptr().metadata(path).item_metadata
+        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template)
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                           sharding=sh), meta.tree)
         return _ckptr().restore(path, abstract)
-    return _ckptr().restore(path)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                       sharding=_leaf_sharding(x)),
+        template)
+    return _ckptr().restore(path, abstract)
 
 
 def load_metadata(path: str) -> dict:

@@ -58,7 +58,8 @@ class Trainer:
                        console=jax.process_index() == 0)
 
         # ---- devices / mesh ----
-        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.mesh = (mesh if mesh is not None
+                     else pmesh.make_mesh_from_cfg(cfg))
         self.n_devices = np.prod([d for d in self.mesh.devices.shape])
         self.n_processes = jax.process_count()
         self.process_index = jax.process_index()
@@ -444,7 +445,14 @@ class Trainer:
         best = os.path.join(self.work_dir, "checkpoint_best")
         if os.path.isdir(best):
             payload = ckpt.load_checkpoint(best, self._ckpt_payload())
-            self.state = self.state._replace(params=payload["params"])
+            params = payload["params"]
+            if self.multi_device:
+                # normalize placement: restore follows the template's
+                # leaf placements, which the caller may have perturbed
+                params = jax.device_put(
+                    params, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+            self.state = self.state._replace(params=params)
         else:
             # debug runs write no checkpoints (reference would crash on
             # the missing file); fall back to the live weights
