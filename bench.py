@@ -329,9 +329,15 @@ def bench_generation(on_tpu: bool) -> dict:
     try:
         return _bench_generation_impl(on_tpu)
     except Exception as e:
+        import jax
+
         from transformer_gan_tpu.ops import pallas_generate as pgen
         orig = pgen.supports_fused_generate
         pgen.supports_fused_generate = lambda *a, **k: False
+        # The failed program's trace is cached under the same statics;
+        # without clearing it the retry replays the fused-kernel jaxpr
+        # and fails identically (the gate is consulted at trace time).
+        jax.clear_caches()
         try:
             out = _bench_generation_impl(on_tpu)
             out["gen_path"] = (

@@ -409,3 +409,40 @@ def test_batched_scoring_matches_two_calls():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(ref_f),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_ganconfig_rejects_contradictory_debug_knobs():
+    """fused_sampler='off' forces the sequential scan in every phase,
+    which makes the chain-backward kernel unreachable — asserting it via
+    chain_bwd='kernel' must fail at construction, not silently train
+    the 6x-slower sequential path with the assertion never firing."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fused_sampler='off'"):
+        gan_mod.GanConfig(fused_sampler="off", chain_bwd="kernel")
+    # the documented oracle combination stays valid
+    gan_mod.GanConfig(fused_sampler="off", chain_bwd="off")
+
+
+def test_decode_cache_chunked_falls_back_to_rolling_without_cache_kv():
+    """decode_cache='chunked' is an explicit alias of 'auto': without
+    cache_kv (the projected-K/V storage the cache needs) sampling falls
+    back to the rolling path and draws the exact tokens of
+    decode_cache='rolling' (same rng stream)."""
+    xcfg = xl.XLConfig(n_layer=1, n_head=2, d_model=16, d_inner=32,
+                       n_token=310, dropout=0.0, dropatt=0.0,
+                       cache_kv=False)
+    params = xl.init_xl_params(xcfg, seed=0)
+    gk = dict(tgt_len=8, mem_len=8, context_len=2, sample_chunks_mem=1,
+              n_token=310)
+    data = jnp.asarray(np.random.RandomState(0).randint(2, 310, (8, 2)))
+    key = jax.random.PRNGKey(0)
+    out_c = gan_mod.sample_fake_chunks(
+        params, xcfg, gan_mod.GanConfig(decode_cache="chunked", **gk),
+        data, 1.0, key)
+    out_r = gan_mod.sample_fake_chunks(
+        params, xcfg, gan_mod.GanConfig(decode_cache="rolling", **gk),
+        data, 1.0, key)
+    for (f_c, r_c), (f_r, r_r) in zip(out_c, out_r):
+        np.testing.assert_array_equal(np.asarray(f_c.argmax(-1)),
+                                      np.asarray(f_r.argmax(-1)))
+        np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_r))

@@ -43,12 +43,34 @@ def _run(params, xcfg, scfg, length, bsz, mem_len, key, prime=None):
     ("topk", 4, 32, 40),      # batched lanes
     ("random", 1, 30, 24),    # no top-k filtering, single inner chunk
 ])
-def test_fused_generate_matches_oracle(monkeypatch, technique, bsz,
-                                       mem_len, length):
+def test_fused_generate_matches_oracle_default_temp(
+        monkeypatch, technique, bsz, mem_len, length):
+    _oracle_match(monkeypatch, technique, bsz, mem_len, length,
+                  temperature=0.9)
+
+
+@pytest.mark.parametrize("technique,temperature", [
+    ("topk", 0.02),    # peaked: softmax underflow regime — the oracle's
+    ("random", 0.02),  # prob-space threshold + log(max(p,1e-38)) floor
+    ("topk", 5.0),     # near-uniform: threshold-boundary ties
+])
+def test_fused_generate_matches_oracle_extreme_temp(
+        monkeypatch, technique, temperature):
+    """The kernel computes the oracle's formulas VERBATIM (softmax ->
+    prob-space top-k -> 1e-38 floor -> +gumbel argmax), so agreement
+    holds in the underflow/tie regimes where a z-space formulation's
+    monotonicity argument breaks down."""
+    _oracle_match(monkeypatch, technique, 2, 32, 24,
+                  temperature=temperature)
+
+
+def _oracle_match(monkeypatch, technique, bsz, mem_len, length,
+                  temperature):
     monkeypatch.setattr(pgen, "INTERPRET", True)
     xcfg_jnp, xcfg_fused, params = _setup()
     scfg = isample.SamplingConfig(technique=technique, topk=5,
-                                  temperature=0.9, exclude_bos=True,
+                                  temperature=temperature,
+                                  exclude_bos=True,
                                   num_empty_to_ignore=0)
     key = jax.random.PRNGKey(7)
     assert pgen.supports_fused_generate(
@@ -99,6 +121,22 @@ def test_fused_generate_primed_memory(monkeypatch):
     ref, _ = _run(params, xcfg_jnp, scfg, 30, 2, 30, key, prime=prime)
     got, _ = _run(params, xcfg_fused, scfg, 30, 2, 30, key, prime=prime)
     np.testing.assert_array_equal(ref, got)
+
+
+def test_vmem_gate_refuses_oversize_shapes():
+    """Shapes whose streamed K/V blocks + resident weights exceed the
+    Mosaic VMEM budget must be gated to the jnp path instead of failing
+    at kernel compile time (bsz=32, mem 2048, d_model 500 streams ~262MB
+    of K/V alone against the 100MB limit)."""
+    big = xl.XLConfig(n_layer=6, n_head=10, d_model=500, d_inner=1000,
+                      n_token=310, cache_kv=True, use_pallas=True,
+                      compute_dtype="bfloat16")
+    scfg = isample.SamplingConfig(technique="topk", topk=32)
+    assert pgen.generate_vmem_bytes(big, 32, 2048, 32) > pgen._VMEM_LIMIT
+    assert not pgen.supports_fused_generate(big, scfg, 32, 2048, 32)
+    # the validated bench op-point (single lane, mem 4146 front-padded
+    # to 4224) must stay inside the gate
+    assert pgen.supports_fused_generate(big, scfg, 1, 4224, 32)
 
 
 def test_nucleus_stays_on_jnp_path():

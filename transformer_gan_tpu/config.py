@@ -333,16 +333,21 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     # the default stays off. Ignored (scan kept) for PPO, whose P0
     # snapshot chains across chunks.
     cfg.TPU.gan_parallel_chunks = False
-    # GAN sampling memory implementation: "auto" resolves to the two-level
-    # chunked decode cache under cache_kv (the production path); "rolling"
-    # forces the small-shape oracle scan (debug / equivalence runs);
-    # "chunked" forces the cache even where auto would not pick it.
+    # GAN sampling memory implementation: "auto" (and its explicit alias
+    # "chunked") resolves to the two-level chunked decode cache under
+    # cache_kv (the production path) and falls back to the rolling scan
+    # when cache_kv is off (the cache stores projected K/V, which only
+    # exists under cache_kv); "rolling" forces the small-shape oracle
+    # scan unconditionally (debug / equivalence runs).
     cfg.TPU.gan_decode_cache = "auto"
-    # Forward-only fused decode kernel for the no-grad sampling inside
-    # dis/clf phases (ops/pallas_decode.py): "auto" uses it whenever the
-    # chunked cache is active and shapes qualify; "off" forces the jnp
-    # scan; "on" asserts the fused path is taken. Sample-exact vs the
-    # jnp path (same rng stream, hard argmax forward value).
+    # Fused sampling kernels in the GAN phases (ops/pallas_decode.py):
+    # "auto" uses them whenever the chunked cache is active and shapes
+    # qualify; "on" asserts the fused path is taken; "off" is the full
+    # debug/oracle switch — it forces the sequential jnp sampling scan
+    # in EVERY phase, which also bypasses the gen phase's batched
+    # recompute + chain-backward machinery (orders of magnitude slower
+    # at real op-points; setting chain_bwd="kernel" together with this
+    # is rejected as contradictory).
     cfg.TPU.gan_fused_decode = "auto"
     # Gen-phase backward through the FULL sample chain (DISCRIMINATOR.
     # truncate_backprop False): "auto" samples forward-only, batched-

@@ -28,7 +28,9 @@ from ..models import xl
 class SamplingConfig:
     """Static sampling parameters (hashable, safe for jit closure)."""
 
-    technique: str = "topk"      # topk | nucleus | random
+    technique: str = "topk"      # topk | nucleus | random ("gumbel" is
+                                 # internal: generate_tokens_gumbel's
+                                 # clamp-free argmax(l+g) kernel route)
     topk: int = 32
     nucleus_p: float = 0.95
     temperature: float = 0.95
@@ -367,11 +369,13 @@ def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
         from ..ops import pallas_generate as pgen
         C = min(DECODE_CHUNK, length)
         bsz = first_token.shape[0]
-        # gumbel-argmax == categorical at T=1 with no logit surgery:
-        # argmax(l + g) for the pre-transformed gumbel g of THIS path's
-        # rng stream (gumbel_softmax_st's (1, bsz, V) uniform draws) —
-        # routes onto the fused generation kernel, same_length=False
-        scfg_g = SamplingConfig(technique="random", temperature=1.0,
+        # gumbel-argmax: argmax(l + g) with NO softmax/clamp, for the
+        # pre-transformed gumbel g of THIS path's rng stream
+        # (gumbel_softmax_st's (1, bsz, V) uniform draws) — the kernel's
+        # dedicated "gumbel" technique (the categorical techniques carry
+        # the oracle's log(max(p, 1e-38)) floor, which this oracle —
+        # forward_generate_gumbel — does not have); same_length=False
+        scfg_g = SamplingConfig(technique="gumbel", temperature=1.0,
                                 exclude_bos=False, num_empty_to_ignore=0)
         if pgen.supports_fused_generate(xcfg, scfg_g, bsz,
                                         mems.hids.shape[4], C):

@@ -42,11 +42,12 @@ class GanConfig:
 
     dis_type: str = "cnn"            # "bert" | "cnn"
     loss_type: str = "rsgan"
-    # sampling memory implementation: "auto"/"chunked" use the two-level
-    # chunked decode cache under cache_kv (the production path — the
-    # rolling scan's backward OOMs at real op-points, see the note above
-    # sample_fake_chunks); "rolling" forces the small-shape oracle path
-    # (always used when cache_kv is off)
+    # sampling memory implementation: "auto" (and its explicit alias
+    # "chunked") uses the two-level chunked decode cache under cache_kv
+    # (the production path — the rolling scan's backward OOMs at real
+    # op-points, see the note above sample_fake_chunks) and falls back
+    # to the rolling path when cache_kv is off; "rolling" forces the
+    # small-shape oracle path unconditionally
     decode_cache: str = "auto"
     tgt_len: int = 64
     mem_len: int = 64
@@ -68,11 +69,22 @@ class GanConfig:
     # chain-backward kernel when shapes qualify (auto falls back to the
     # sequential scan otherwise)
     chain_bwd: str = "auto"
-    # forward-only fused decode kernel (ops/pallas_decode.py) for the
-    # no-grad sampling inside dis/clf phases: "auto" uses it whenever the
-    # chunked path is active and shapes qualify; "off" forces the jnp
-    # scan (debug/oracle); "on" asserts it is used
+    # fused sampling kernels (ops/pallas_decode.py): "auto" uses them
+    # whenever the chunked path is active and shapes qualify; "on"
+    # asserts the forward-only kernel is used; "off" is the full
+    # debug/oracle switch — sequential jnp sampling scan in EVERY phase,
+    # which also bypasses the gen phase's batched recompute + chain
+    # backward (so chain_bwd="kernel" with "off" is contradictory)
     fused_sampler: str = "auto"
+
+    def __post_init__(self):
+        if self.fused_sampler == "off" and self.chain_bwd == "kernel":
+            raise ValueError(
+                "fused_sampler='off' forces the sequential sampling scan "
+                "in every phase, so the chain-backward kernel that "
+                "chain_bwd='kernel' asserts can never run; use "
+                "chain_bwd='off' (sequential oracle) or drop "
+                "fused_sampler='off'")
 
     @property
     def sample_len(self) -> int:

@@ -50,36 +50,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import VMEM_LIMIT as _VMEM_LIMIT
+from ._pallas_common import bdot as _bdot
+from ._pallas_common import dot as _dot
+from ._pallas_common import pick_bb as _pick_bb
+from ._pallas_common import roll_lanes as _roll_lanes
+
 INTERPRET = False
-
-_ROLL_BITS = (1, 2, 4, 8, 16, 32, 64, 128)
-
-_VMEM_LIMIT = 100 * 1024 * 1024
-
-
-def _roll_lanes(x, amount):
-    """Circular roll of the last (lane) axis by traced ``amount`` < 256."""
-    for bit in _ROLL_BITS:
-        if bit >= x.shape[-1]:
-            break
-        rolled = pltpu.roll(x, bit, x.ndim - 1)
-        x = jnp.where((amount & bit) != 0, rolled, x)
-    return x
-
-
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _dot_t(a, b):
     """[X, D] x [Y, D] -> [X, Y] (contract last with last: a @ b.T)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _bdot(a, b):
-    """[B, X, D] x [B, Y, D] -> [B, X, Y] (batch 0, contract last)."""
-    return jax.lax.dot_general(a, b, (((2,), (2,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
 
 
@@ -307,13 +289,6 @@ def _chain_kernel(sc_ref, ids_ref, s_ref, y_ref, temp_ref,
                 dx_total.astype(cdtype), embw_ref[:],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)             # [BB, V]
-
-
-def _pick_bb(B: int) -> int | None:
-    for bb in (32, 16, 8):
-        if B % bb == 0:
-            return min(bb, B)
-    return None
 
 
 def supports_chain_bwd(cfg, bsz: int, M: int, n: int) -> bool:

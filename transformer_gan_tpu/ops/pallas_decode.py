@@ -52,15 +52,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import VMEM_LIMIT as _VMEM_LIMIT
+from ._pallas_common import bdot as _bdot
+from ._pallas_common import dot as _dot
+from ._pallas_common import ln as _ln
+from ._pallas_common import pick_bb as _pick_bb
+from ._pallas_common import roll_lanes
+
 INTERPRET = False
 
-# Staging length ceiling: the BD roll decomposes t binarily over these
-# bits, and t < C <= 32 for every caller (xl.GEN_DECODE_CHUNK).
+# Staging length ceiling: the BD roll decomposes t binarily, and
+# t < C <= 32 for every caller (xl.GEN_DECODE_CHUNK).
 _MAX_CHUNK = 32
-_ROLL_BITS = (1, 2, 4, 8, 16)
-
-_VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is far larger than the
-                                 # conservative Mosaic default
 
 # Whole-chunk sampler operand mode: True keeps weights/K/V/staging as
 # full resident operands read with the traced layer index (fetched once
@@ -71,38 +74,9 @@ _VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is far larger than the
 RESIDENT = True
 
 
-def _ln(x, scale_row, bias_row, eps):
-    """layer_norm matching models/attention.py:20-29 (fp32 internals)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale_row.astype(jnp.float32)
-            + bias_row.astype(jnp.float32)).astype(x.dtype)
-
-
 def _roll_lanes(x, t):
-    """Circular roll of the last (lane) axis by traced ``t`` (< 32).
-
-    Rolls the 3D array directly: Mosaic supports lane rolls at any rank,
-    while the (BB*H, KL) reshape is a layout-changing shape cast it
-    rejects (mid-dim collapses move data between the batch and sublane
-    dims; see the per-row notes in _decode_kernel)."""
-    for bit in _ROLL_BITS:
-        rolled = pltpu.roll(x, bit, 2)
-        x = jnp.where((t & bit) != 0, rolled, x)
-    return x
-
-
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _bdot(a, b):
-    """[B, X, D] x [B, Y, D] -> [B, X, Y] (batch 0, contract last)."""
-    return jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    """Chunk-local lane roll: t < _MAX_CHUNK (see _pallas_common)."""
+    return roll_lanes(x, t, max_amount=_MAX_CHUNK)
 
 
 def _decode_kernel(sc_ref, ids_ref, g_ref,
@@ -246,13 +220,6 @@ def _decode_kernel(sc_ref, ids_ref, g_ref,
                       keepdims=True)                           # [B, 1]
         ids_out[:] = idx
         oh_out[:] = (lane == idx).astype(jnp.float32)
-
-
-def _pick_bb(B: int) -> int | None:
-    for bb in (32, 16, 8):
-        if B % bb == 0:
-            return min(bb, B)
-    return None
 
 
 def supports_fused_decode(cfg, bsz: int, M: int, C: int) -> bool:

@@ -17,16 +17,16 @@ runs embed -> all layers -> logits -> logit surgery -> top-k threshold
 * the staged-K/V ring in the output refs and the sampled-token /
   empty-run-counter feedback in VMEM scratch (nothing leaves the chip
   between tokens),
-* sampling WITHOUT softmax/log/exp: ``jax.random.categorical(log p, G)
-  == argmax(z + G)`` for ``z = logits/T`` (softmax is monotone and
-  logsumexp is a per-row constant), and the top-k keep-set
-  ``probs >= kth_largest(probs)`` equals ``z >= kth_largest(z)`` — so
-  the kernel applies the surgeries (BOS exclusion, repeated-
-  TIME_SHIFT_100 suppression) on the logits, finds the k-th largest
-  via a tie-aware select loop, and draws by ``argmax(keep ? z + G :
-  -inf)`` with the PRE-DRAWN gumbel noise G of the oracle's exact rng
-  stream (XLA computes ``jax.random.gumbel`` per step key, the same
-  values ``jax.random.categorical`` would draw).
+* sampling with the ORACLE'S FORMULAS verbatim: after the logit
+  surgeries (BOS exclusion, repeated-TIME_SHIFT_100 suppression), the
+  kernel computes ``p = softmax(logits/T)``, thresholds top-k in PROB
+  space via a tie-aware k-th-largest select loop, floors at
+  ``log(max(p, 1e-38))``, and draws by ``argmax(logp + G)`` with the
+  PRE-DRAWN gumbel noise G of the oracle's exact rng stream (XLA
+  computes ``jax.random.gumbel`` per step key, the same values
+  ``jax.random.categorical`` would draw). Prob-space (not z-space)
+  thresholding matters: at low temperature probs underflow to 0.0 and
+  the oracle's 1e-38 floor lets sub-threshold lanes win gumbel ties.
 
 Techniques: topk / random / temperature-0 argmax. Nucleus keeps the
 jnp path (its tie-breaking runs through a full sort).
@@ -43,12 +43,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import VMEM_LIMIT as _VMEM_LIMIT
+from ._pallas_common import bdot as _bdot
+from ._pallas_common import dot as _dot
+from ._pallas_common import ln as _ln
+from ._pallas_common import roll_lanes
+
 INTERPRET = False
 
 _MAX_CHUNK = 32
-_ROLL_BITS = (1, 2, 4, 8, 16)
-
-_VMEM_LIMIT = 100 * 1024 * 1024
 
 _NEG = -1e30                     # python literal: jnp module-level
                                  # constants get captured as tracers
@@ -60,29 +63,9 @@ _NEG = -1e30                     # python literal: jnp module-level
 RESIDENT = True
 
 
-def _ln(x, scale_row, bias_row, eps):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale_row.astype(jnp.float32)
-            + bias_row.astype(jnp.float32)).astype(x.dtype)
-
-
 def _roll_lanes(x, t):
-    for bit in _ROLL_BITS:
-        rolled = pltpu.roll(x, bit, 2)
-        x = jnp.where((t & bit) != 0, rolled, x)
-    return x
-
-
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _bdot(a, b):
-    return jax.lax.dot_general(a, b, (((2,), (2,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
+    """Chunk-local lane roll: t < _MAX_CHUNK (see _pallas_common)."""
+    return roll_lanes(x, t, max_amount=_MAX_CHUNK)
 
 
 def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
@@ -218,22 +201,41 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
             lmax = jnp.max(l, axis=-1, keepdims=True)
             idx = jnp.min(jnp.where(l == lmax, vlane, V), axis=-1,
                           keepdims=True)
+        elif technique == "gumbel":
+            # gumbel-argmax oracle (forward_generate_gumbel /
+            # generate_tokens_gumbel): argmax(z + g) with NO softmax and
+            # NO prob floor — distinct from the categorical oracle below,
+            # whose log(max(p, 1e-38)) clamp compresses deep tails
+            zk = l / temperature + g_ref[0]
+            zmax = jnp.max(zk, axis=-1, keepdims=True)
+            idx = jnp.min(jnp.where(zk == zmax, vlane, V), axis=-1,
+                          keepdims=True)
         else:
+            # The oracle's formulas VERBATIM (infer/sample.py
+            # _filter_and_sample): softmax -> top-k threshold in PROB
+            # space -> log(max(p, 1e-38)) floor -> +gumbel argmax.
+            # Thresholding in z space is equivalent only while softmax
+            # is injective: at low temperature probs underflow to 0.0,
+            # the oracle's kth collapses to 0.0 (keeping every lane at
+            # the -87.5 floor where gumbel noise can still win) — a
+            # z-space exclusion at -1e30 diverges there.
             z = l / temperature
+            zmx = jnp.max(z, axis=-1, keepdims=True)
+            ez = jnp.exp(z - zmx)
+            p = ez / jnp.sum(ez, axis=-1, keepdims=True)
             if technique == "topk" and topk < V:
                 # k-th largest via a tie-aware select loop: mask ONE
                 # occurrence of the current max per iteration (top_k
                 # counts duplicates separately)
-                cur = z
+                cur = p
                 for _i in range(topk - 1):
                     m = jnp.max(cur, axis=-1, keepdims=True)
                     first = jnp.min(jnp.where(cur == m, vlane, V),
                                     axis=-1, keepdims=True)
-                    cur = jnp.where(vlane == first, _NEG, cur)
+                    cur = jnp.where(vlane == first, -1.0, cur)
                 kth = jnp.max(cur, axis=-1, keepdims=True)
-                zk = jnp.where(z >= kth, z + g_ref[0], _NEG)
-            else:
-                zk = z + g_ref[0]
+                p = jnp.where(p >= kth, p, 0.0)
+            zk = jnp.log(jnp.maximum(p, 1e-38)) + g_ref[0]
             zmax = jnp.max(zk, axis=-1, keepdims=True)
             idx = jnp.min(jnp.where(zk == zmax, vlane, V), axis=-1,
                           keepdims=True)
@@ -245,8 +247,28 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
         er_out[:] = er_s[:]
 
 
+def generate_vmem_bytes(cfg, bsz: int, M: int, C: int) -> int:
+    """Rough VMEM footprint of the generation kernel: double-buffered
+    per-(t,l) K/V stream blocks + resident weights/R/embedding + the
+    staged rings and per-step gumbel rows (mirrors the BlockSpecs in
+    _make_gen_call; companion of pallas_decode.decode_chunk_vmem_bytes)."""
+    L, HD, DI, V = (cfg.n_layer, cfg.n_head * cfg.d_head, cfg.d_inner,
+                    cfg.n_token)
+    bpe = 2 if jnp.dtype(cfg.cdtype).itemsize == 2 else 4
+    kv_stream = 2 * 2 * bsz * M * HD * bpe        # K+V, double-buffered
+    weights = L * (4 * HD * HD + 2 * HD * DI) * bpe
+    r = L * (M + 1) * HD * bpe
+    emb = 2 * V * HD * bpe
+    staging = 2 * L * bsz * C * HD * bpe
+    g = 2 * bsz * V * 4                            # per-t, double-buffered
+    scratch = (2 * bsz * HD + 2 * bsz * cfg.n_head * HD) * bpe
+    return kv_stream + weights + r + emb + staging + g + scratch
+
+
 def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
-    """Gate: topk/random/argmax sampling, small batch, staged chunk.
+    """Gate: topk/random/argmax sampling, small batch, staged chunk,
+    and the kernel's operands must fit VMEM with headroom (otherwise the
+    Mosaic compile fails where the jnp chunked decode would have worked).
 
     M needs no alignment: the caller front-pads the K/V lane buffers to
     a multiple of 128 with always-masked slots (ring validity lives at
@@ -254,10 +276,12 @@ def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
     the distance algebra is unchanged). Nucleus keeps the jnp path (its
     tie-breaking runs through a full sort)."""
     return (cfg.cache_kv and cfg.use_pallas
-            and scfg.technique in ("topk", "random")
+            and scfg.technique in ("topk", "random", "gumbel")
             and 1 <= bsz <= 32
             and C <= _MAX_CHUNK
-            and not cfg.append_note_status)
+            and not cfg.append_note_status
+            and generate_vmem_bytes(cfg, bsz, M, C)
+            < int(_VMEM_LIMIT * 0.85))
 
 
 @functools.lru_cache(maxsize=None)
