@@ -46,10 +46,19 @@ def main():
     mems = xl.init_mems(xcfg, mem_len, lanes)
 
     results = {}
-    for name, force_jnp in (("fused", False), ("jnp", True)):
+    for name, force_jnp in (("fused", False), ("fused-zspace", False),
+                            ("jnp", True)):
         if force_jnp:
             orig = pgen.supports_fused_generate
             pgen.supports_fused_generate = lambda *a, **k: False
+            # sample_scan_jit's statics are unchanged, so without this
+            # the cached FUSED trace re-runs and the "jnp" pass
+            # measures/compares the kernel against itself (the vacuous
+            # comparison behind the retracted 100%-agreement record)
+            jax.clear_caches()
+        if name == "fused-zspace":
+            pgen.ORACLE_EXACT = False
+            jax.clear_caches()   # same statics as the exact variant
         try:
             t0 = time.time()
             toks, _ = isample.sample_scan_jit(
@@ -73,11 +82,23 @@ def main():
         finally:
             if force_jnp:
                 pgen.supports_fused_generate = orig
+            if name == "fused-zspace":
+                pgen.ORACLE_EXACT = True
+                jax.clear_caches()
 
-    a, b = results["fused"], results["jnp"]
-    agree = float((a == b).mean())
-    print(f"sampled-id agreement fused vs jnp: {agree*100:.2f}% "
-          f"(bf16 near-tie flips cascade within a lane)", flush=True)
+    for variant in ("fused", "fused-zspace"):
+        a, b = results[variant], results["jnp"]
+        agree = float((a == b).mean())
+        # raw positional agreement is dominated by the CASCADE after the
+        # first bf16 near-tie flip (every later token conditions on a
+        # different prefix); report the first divergence per lane too
+        firsts = [int(np.argmax(a[:, i] != b[:, i]))
+                  if (a[:, i] != b[:, i]).any() else -1
+                  for i in range(a.shape[1])]
+        print(f"sampled-id agreement {variant} vs jnp: {agree*100:.2f}% "
+              f"(first divergence per lane: {firsts}; -1 = none; "
+              f"agreement is exact until the first bf16 near-tie flip, "
+              f"then the autoregressive prefix differs)", flush=True)
 
 
 if __name__ == "__main__":

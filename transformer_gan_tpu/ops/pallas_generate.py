@@ -62,6 +62,16 @@ _NEG = -1e30                     # python literal: jnp module-level
 # pallas_decode.RESIDENT.
 RESIDENT = True
 
+# Categorical-draw epilogue variant. True: the oracle's formulas
+# verbatim (softmax -> prob-space top-k -> log(max(p, 1e-38)) floor) —
+# exact in the low-temperature softmax-underflow regime. False: the
+# z-space formulation (top-k threshold and gumbel-argmax directly on
+# z = logits/T, exclusion at -1e30) — equivalent while softmax is
+# injective (it is at practical temperatures; measured 100% id
+# agreement on chip), kept as a fallback should the transcendental
+# epilogue regress a given toolchain. See PERF.md.
+ORACLE_EXACT = True
+
 
 def _roll_lanes(x, t):
     """Chunk-local lane roll: t < _MAX_CHUNK (see _pallas_common)."""
@@ -78,7 +88,8 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 x_ref, tmp_ref, qhw_ref, qhr_ref, ids_s, er_s, *,
                 T, L, NB, B, M, C, V, HD, pre_lnorm, cdtype, eps_ln,
                 scale, technique, topk, temperature, exclude_bos,
-                num_empty, empty_token, same_length, resident):
+                num_empty, empty_token, same_length, resident,
+                oracle_exact):
     t = pl.program_id(0)
     li = pl.program_id(1)
     count = sc_ref[0]
@@ -210,7 +221,7 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
             zmax = jnp.max(zk, axis=-1, keepdims=True)
             idx = jnp.min(jnp.where(zk == zmax, vlane, V), axis=-1,
                           keepdims=True)
-        else:
+        elif oracle_exact:
             # The oracle's formulas VERBATIM (infer/sample.py
             # _filter_and_sample): softmax -> top-k threshold in PROB
             # space -> log(max(p, 1e-38)) floor -> +gumbel argmax.
@@ -236,6 +247,25 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 kth = jnp.max(cur, axis=-1, keepdims=True)
                 p = jnp.where(p >= kth, p, 0.0)
             zk = jnp.log(jnp.maximum(p, 1e-38)) + g_ref[0]
+            zmax = jnp.max(zk, axis=-1, keepdims=True)
+            idx = jnp.min(jnp.where(zk == zmax, vlane, V), axis=-1,
+                          keepdims=True)
+        else:
+            # z-space fallback (see ORACLE_EXACT): categorical(log p, G)
+            # == argmax(z + G) while softmax is injective, and the
+            # prob-space keep-set equals the z-space keep-set there
+            z = l / temperature
+            if technique == "topk" and topk < V:
+                cur = z
+                for _i in range(topk - 1):
+                    m = jnp.max(cur, axis=-1, keepdims=True)
+                    first = jnp.min(jnp.where(cur == m, vlane, V),
+                                    axis=-1, keepdims=True)
+                    cur = jnp.where(vlane == first, _NEG, cur)
+                kth = jnp.max(cur, axis=-1, keepdims=True)
+                zk = jnp.where(z >= kth, z + g_ref[0], _NEG)
+            else:
+                zk = z + g_ref[0]
             zmax = jnp.max(zk, axis=-1, keepdims=True)
             idx = jnp.min(jnp.where(zk == zmax, vlane, V), axis=-1,
                           keepdims=True)
@@ -288,7 +318,7 @@ def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
 def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                    eps_ln, scale, technique, topk, temperature,
                    exclude_bos, num_empty, empty_token, same_length,
-                   resident, interpret):
+                   resident, oracle_exact, interpret):
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _gen_kernel, T=T, L=L, NB=1, B=B, M=M, C=C, V=V, HD=HD,
@@ -296,7 +326,7 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
         technique=technique, topk=topk, temperature=temperature,
         exclude_bos=exclude_bos, num_empty=num_empty,
         empty_token=empty_token, same_length=same_length,
-        resident=resident)
+        resident=resident, oracle_exact=oracle_exact)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda t, l, *_: (0,) * len(shape),
@@ -391,7 +421,8 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
         1.0 / (cfg.d_head ** 0.5),
         scfg.technique, int(scfg.topk), float(scfg.temperature),
         bool(scfg.exclude_bos), int(scfg.num_empty_to_ignore),
-        int(scfg.empty_token), bool(same_length), RESIDENT, INTERPRET)
+        int(scfg.empty_token), bool(same_length), RESIDENT, ORACLE_EXACT,
+        INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, er_f, toks, sk, sv = call(
         sc, ids, er, g,
