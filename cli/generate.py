@@ -139,11 +139,23 @@ def main(inference_cfg):
     if (not inference_cfg.GENERATION.duration_based
             and not inference_cfg.MODEL.debug):
         # Fixed-length generation: batch independent files into waves of
-        # lanes on one device (best measured aggregate events/s at 8
-        # lanes, mem 4146).
+        # lanes on one device. Prefer the LARGEST wave the fused
+        # generation kernel supports at this op-point (its VMEM gate
+        # bounds the lane count as mem_len grows): the decode is
+        # KV-HBM bound, so even a 1-lane fused wave (109 us/token
+        # measured) out-aggregates the 8-lane jnp wave (~7.4k events/s
+        # measured); fall back to 8-lane jnp when no fused wave applies
+        # (e.g. nucleus sampling).
+        from transformer_gan_tpu.ops import pallas_generate as pgen
         n_files = inference_cfg.INPUT.num_midi_files
         generation_length = inference_cfg.GENERATION.generation_length
         max_lanes = 8
+        chunk = min(sampling.DECODE_CHUNK, generation_length)
+        for cand in (8, 4, 2, 1):
+            if pgen.supports_fused_generate(xcfg, scfg, cand, mem_len,
+                                            chunk):
+                max_lanes = cand
+                break
         done = 0
         while done < n_files:
             lanes = min(max_lanes, n_files - done)
