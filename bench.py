@@ -275,7 +275,9 @@ def bench_gan(on_tpu: bool) -> dict:
     rng = np.random.RandomState(0)
     data_c = jnp.asarray(tstep.chunk_batch(
         rng.randint(2, 310, (gcfg.tgt_len, bsz)), bc))
-    key = jax.random.PRNGKey(0)
+    # production GAN-loop key impl: rbg on TPU (threefry dropout masks
+    # alone cost ~40 ms/dis-step at this op-point)
+    key = jax.random.key(0, impl="rbg" if on_tpu else "threefry2x32")
 
     def timeit(fn, params, other, opt_state):
         nonlocal key

@@ -95,7 +95,8 @@ def main(inference_cfg):
     scfg = sampling.SamplingConfig.from_cfg(inference_cfg, empty_bar_token)
     decode_step = sampling.make_decode_step(xcfg, scfg)
     prime_step = sampling.make_prime_step(xcfg)
-    rng = jax.random.PRNGKey(int(cfg.TRAIN.seed))
+    rng = jax.random.key(int(cfg.TRAIN.seed),
+                         impl=getattr(cfg.TPU, "rng_impl", "threefry2x32"))
 
     # conditional "time extension" prefix (reference generate.py:150-174)
     num_conditional_tokens = 0

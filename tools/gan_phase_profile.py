@@ -92,6 +92,50 @@ def main():
 
     timeit("sample_only", sample_only, gen_params, key)
 
+    # ---- pure BERT scoring floor (fwd+param-bwd, real+fake batch shape,
+    #      no sampling / no GP): what the dis phase would cost if scoring
+    #      were the only work ----
+    sc = gk["sample_chunks_mem"]
+    seg = gk["tgt_len"] // sc  # chunk length actually scored
+
+    def make_bert_floor(train):
+        def bert_loss(dp, ids, r):
+            emb = dp["word_embeddings"][ids]
+            d = bert_mod.bert_discriminator_score(
+                dp, dis_cfg, emb, train=train, rng=r if train else None)
+            return jnp.sum(d)
+
+        bgrad = jax.grad(bert_loss)
+
+        @jax.jit
+        def bert_floor(dp, dc, r):
+            rngs = jax.random.split(r, bc * sc)
+            # same total rows as the dis phase scores: per micro-chunk,
+            # sample_chunks_mem segments of [2*bsz_chunk, seg]
+            rows = dc.transpose(0, 2, 1).reshape(bc * sc, -1, seg)
+            both = jnp.concatenate([rows, rows], axis=1)
+
+            def body(acc, xs):
+                ids, rr = xs
+                return jax.tree.map(jnp.add, acc, bgrad(dp, ids, rr)), None
+
+            zero = jax.tree.map(jnp.zeros_like, dp)
+            acc, _ = jax.lax.scan(body, zero, (both, rngs))
+            return acc
+
+        return bert_floor
+
+    bert_floor = make_bert_floor(True)
+    timeit("bert_scoring_floor", bert_floor, dis_params, data_c, key)
+    if "--rng-ablation" in sys.argv:
+        # same fwd+bwd, rbg dropout keys (the MLE loop's TPU PRNG)
+        timeit("bert_scoring_floor_rbg", bert_floor, dis_params, data_c,
+               jax.random.key(7, impl="rbg"))
+        # no dropout at all: bounds the total mask+RNG cost
+        timeit("bert_scoring_floor_nodrop", make_bert_floor(False),
+               dis_params, data_c, key)
+        return
+
     # ---- dis phase with / without GP ----
     def make_dis(loss_type):
         g = gan_mod.GanConfig(loss_type=loss_type, **gk)

@@ -92,7 +92,7 @@ class MlmTrainer:
                  mlm_probability: float = 0.15, seed: int = 42,
                  logging_steps: int = 100, save_steps: int = 1000,
                  save_total_limit: int = 2, eval_steps: int = 1000,
-                 mesh=None):
+                 mesh=None, rng_impl: str = "rbg"):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.tokenizer = MIDITokenizer(vocab_file)
@@ -165,7 +165,7 @@ class MlmTrainer:
             self.params = psh.place_replicated(self.mesh, self.params)
             self.opt_state = psh.place_replicated(self.mesh, self.opt_state)
 
-        self.rng = jax.random.PRNGKey(seed)
+        self.rng = jax.random.key(seed, impl=rng_impl)
         self.step = 0
         self._build_steps()
 

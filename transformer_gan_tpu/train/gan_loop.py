@@ -210,7 +210,11 @@ class GanPhases:
                     self.mesh, self.disD_opt_state)
             self.P0 = psh.place_rows(self.mesh, self.P0)
 
-        self.rng = jax.random.PRNGKey(cfg.TRAIN.seed + 777)
+        # typed key with the configured impl: rbg on TPU — threefry mask
+        # generation for the BERT scoring dropout alone costs ~40 ms of
+        # the ~250 ms dis phase at the spanbert op-point (PERF.md)
+        self.rng = jax.random.key(cfg.TRAIN.seed + 777,
+                                  impl=cfg.TPU.rng_impl)
         self._dis_stream = trainer.dis_iter()
         self._build_steps()
 
