@@ -50,7 +50,7 @@ def main():
     rng = np.random.RandomState(0)
     data = jnp.asarray(rng.randint(2, 310, (128, bsz)))
     data_c = data.reshape(128, bc, bsz // bc).transpose(1, 0, 2)
-    key = jax.random.PRNGKey(7)
+    key = jax.random.key(7, impl="rbg")  # production GAN-loop key impl
     scale = 1.0 / (bc * gk["sample_chunks_mem"])
     opt = optax.adam(2e-3)
     iters = 2 if quick else 5
