@@ -68,9 +68,13 @@ def run(dtype: str):
     l_jnp, g_jnp = grads(
         gan_mod.GanConfig(fused_sampler="off", chain_bwd="jnp", **gk),
         xcfg_off)
-    l_ker, g_ker = grads(
-        gan_mod.GanConfig(fused_sampler="auto", chain_bwd="kernel", **gk),
-        xcfg)
+    from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
+    gcfg_ker = gan_mod.GanConfig(fused_sampler="auto", chain_bwd="kernel",
+                                 **gk)
+    pchain.RESIDUAL_STREAM = False
+    l_ker, g_ker = grads(gcfg_ker, xcfg)
+    pchain.RESIDUAL_STREAM = True
+    l_res, g_res = grads(gcfg_ker, xcfg)
 
     def diff(a, b):
         return max(float(np.max(np.abs(x - y))) for x, y in zip(
@@ -80,10 +84,13 @@ def run(dtype: str):
                for x in jax.tree_util.tree_leaves(g_seq))
     out.update(
         loss_seq=l_seq, loss_jnp=l_jnp, loss_kernel=l_ker,
+        loss_kernel_residual=l_res,
         grad_scale=gmax,
         jnp_vs_seq=diff(g_jnp, g_seq),
         kernel_vs_seq=diff(g_ker, g_seq),
         kernel_vs_jnp=diff(g_ker, g_jnp),
+        kernel_residual_vs_seq=diff(g_res, g_seq),
+        kernel_residual_vs_jnp=diff(g_res, g_jnp),
     )
     print(json.dumps(out), flush=True)
     return out

@@ -113,7 +113,8 @@ def rel_attention_kv(w: jnp.ndarray,
                      softmax_dtype=jnp.float32,
                      dropatt_rng=None,
                      dropatt_rate: float = 0.0,
-                     detach_kv_cross: bool = False):
+                     detach_kv_cross: bool = False,
+                     with_prob: bool = False):
     """K/V-cached XL attention: memory holds projected keys/values.
 
     XL keys/values are position-independent (relative position enters only
@@ -210,5 +211,12 @@ def rel_attention_kv(w: jnp.ndarray,
         ctx = ctx + diag_p[..., None] * v_live
     attn_vec = ctx.transpose(2, 0, 1, 3).reshape(qlen, bsz,
                                                  n_head * d_head)
-    return (attn_vec, k_cur.transpose(1, 0, 2, 3),
-            v_cur.transpose(1, 0, 2, 3))
+    out = (attn_vec, k_cur.transpose(1, 0, 2, 3),
+           v_cur.transpose(1, 0, 2, 3))
+    if with_prob:
+        # residual for the streamed chain-backward kernel
+        # (ops/pallas_chain_bwd.py): [b, h, qlen, klen] fp32, exactly 0
+        # on masked lanes
+        out = out + (jax.lax.stop_gradient(
+            attn_prob.astype(jnp.float32)),)
+    return out

@@ -486,8 +486,11 @@ def _chain_q_jnp(params, xcfg, inputs, kf, vf, count, y, dst,
 
 
 def _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y, dst,
-                    temperature, M):
-    """Reverse chain on the fused kernel (one pallas_call per chunk)."""
+                    temperature, M, res=None):
+    """Reverse chain on the fused kernel (one pallas_call per chunk).
+    With ``res`` (window residuals from decode_recompute_window
+    collect_residuals=True) the residual-streaming kernel runs —
+    backward-only grid, no per-token forward recompute."""
     from ..ops import pallas_chain_bwd as pchain
     from ..ops import pallas_decode as pdec
     n, bsz, V = y.shape
@@ -504,6 +507,10 @@ def _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y, dst,
             xcfg.n_layer, M + 1, hd)
     stacked = pdec.stack_decode_params(
         jax.lax.stop_gradient(params), xcfg)
+    if res is not None:
+        return pchain.chain_bwd_q_res(stacked, xcfg, kf_d, vf_d,
+                                      r_heads, dst, y, count,
+                                      temperature, res)
     ids = jnp.argmax(inputs, axis=-1).astype(jnp.int32)
     return pchain.chain_bwd_q(stacked, xcfg, kf_d, vf_d, r_heads, ids,
                               dst, y, count, temperature)
@@ -524,19 +531,34 @@ def _chunk_st_fullchain_bwd(xcfg: xl.XLConfig, chain_impl, res, cts):
             "chain_bwd='kernel' but the fused chain-backward kernel "
             "does not apply (needs cache_kv + use_pallas + qualifying "
             f"shapes; bsz={bsz}, M={M}, n={n})")
-    if kernel_ok and chain_impl in ("kernel", "auto"):
-        Q = _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y, dst,
-                            temperature, M)
+    use_kernel = kernel_ok and chain_impl in ("kernel", "auto")
+    if use_kernel and pchain.RESIDUAL_STREAM:
+        # ONE window linearization supplies both the chain kernel's
+        # residuals (aux) and the parameter pullback
+        def win_logits_aux(p):
+            lg, _, _, _, r = xl.decode_recompute_window(
+                p, xcfg, inputs, k_mem, v_mem, count,
+                same_length=False, collect_residuals=True)
+            return lg, r
+
+        _, vjp_fn, wres = jax.vjp(win_logits_aux, params, has_aux=True)
+        Q = _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y,
+                            dst, temperature, M, res=wres)
+        dparams = vjp_fn(Q.astype(ldt))[0]
     else:
-        Q = _chain_q_jnp(params, xcfg, inputs, kf, vf, count, y, dst,
-                         temperature, M)
+        if use_kernel:
+            Q = _chain_q_kernel(params, xcfg, inputs, kf, vf, count, y,
+                                dst, temperature, M)
+        else:
+            Q = _chain_q_jnp(params, xcfg, inputs, kf, vf, count, y,
+                             dst, temperature, M)
 
-    def win_logits(p):
-        lg, _, _, _ = xl.decode_recompute_window(
-            p, xcfg, inputs, k_mem, v_mem, count, same_length=False)
-        return lg
+        def win_logits(p):
+            lg, _, _, _ = xl.decode_recompute_window(
+                p, xcfg, inputs, k_mem, v_mem, count, same_length=False)
+            return lg
 
-    dparams = jax.vjp(win_logits, params)[1](Q.astype(ldt))[0]
+        dparams = jax.vjp(win_logits, params)[1](Q.astype(ldt))[0]
     zeros = jax.tree.map(_zero_ct,
                          (inputs, k_mem, v_mem, count, g, hard))
     # temperature's true cotangent is never consumed (it comes from the

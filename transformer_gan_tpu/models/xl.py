@@ -818,7 +818,8 @@ def decode_chunk_step(params, cfg: XLConfig, inp, state: DecodeState,
 
 def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
                             count, *, same_length: bool = False,
-                            status_vec=None):
+                            status_vec=None,
+                            collect_residuals: bool = False):
     """Batched recompute of ``n`` sequential ``decode_chunk_step``
     forwards (detach_kv_writes=True semantics) in ONE parallel pass.
 
@@ -875,37 +876,50 @@ def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
     r_r_bias = params["r_r_bias"].astype(cfg.cdtype)
 
     new_k, new_v = [], []
+    res = {"x": [], "z1": [], "z2": [], "ff_pre": [], "prob": []} \
+        if collect_residuals else None
+    sg = jax.lax.stop_gradient
     for i, layer in enumerate(params["layers"]):
         if cfg.pre_lnorm:
             w_in = layer_norm(x, layer["attn_ln_scale"],
                               layer["attn_ln_bias"])
         else:
             w_in = x
-        attn_vec, k_cur, v_cur = rel_attention_kv(
+        attn = rel_attention_kv(
             w_in, k_mem[i], v_mem[i], pos,
             layer["qkv_w"].astype(cfg.cdtype),
             layer["r_w"].astype(cfg.cdtype),
             r_w_bias, r_r_bias, attn_mask, h, dh,
-            softmax_dtype=cfg.sdtype, detach_kv_cross=True)
+            softmax_dtype=cfg.sdtype, detach_kv_cross=True,
+            with_prob=collect_residuals)
+        attn_vec, k_cur, v_cur = attn[:3]
         attn_out = attn_vec @ layer["o_w"].astype(cfg.cdtype)
+        z1 = x + attn_out
         if cfg.pre_lnorm:
-            out = x + attn_out
+            out = z1
         else:
-            out = layer_norm(x + attn_out, layer["attn_ln_scale"],
+            out = layer_norm(z1, layer["attn_ln_scale"],
                              layer["attn_ln_bias"])
         if cfg.pre_lnorm:
             ff_in = layer_norm(out, layer["ff_ln_scale"],
                                layer["ff_ln_bias"])
         else:
             ff_in = out
-        ff = jax.nn.relu(ff_in @ layer["ff_w1"].astype(cfg.cdtype)
-                         + layer["ff_b1"].astype(cfg.cdtype))
-        ff = ff @ layer["ff_w2"].astype(cfg.cdtype) + layer["ff_b2"].astype(
-            cfg.cdtype)
+        ff_pre = (ff_in @ layer["ff_w1"].astype(cfg.cdtype)
+                  + layer["ff_b1"].astype(cfg.cdtype))
+        ff = jax.nn.relu(ff_pre) @ layer["ff_w2"].astype(cfg.cdtype) \
+            + layer["ff_b2"].astype(cfg.cdtype)
+        z2 = out + ff
+        if collect_residuals:
+            res["x"].append(sg(x))
+            res["z1"].append(sg(z1))
+            res["z2"].append(sg(z2))
+            res["ff_pre"].append(sg(ff_pre))
+            res["prob"].append(attn[3])       # already stop-gradient'ed
         if cfg.pre_lnorm:
-            x = out + ff
+            x = z2
         else:
-            x = layer_norm(out + ff, layer["ff_ln_scale"],
+            x = layer_norm(z2, layer["ff_ln_scale"],
                            layer["ff_ln_bias"])
         kc = jax.lax.stop_gradient(k_cur)     # [h, b, n, dh]
         vc = jax.lax.stop_gradient(v_cur)
@@ -913,6 +927,12 @@ def decode_recompute_window(params, cfg: XLConfig, inp, k_mem, v_mem,
         new_v.append(jnp.concatenate([v_mem[i], vc], axis=2))
 
     logits = compute_logits(params, cfg, x)
+    if collect_residuals:
+        # stacked for the chain kernel's per-(token, layer) streaming:
+        # x/z1/z2 [L, n, b, hd]; ff_pre [L, n, b, d_inner];
+        # prob [L, b, h, n, klen] fp32
+        res = {k: jnp.stack(v) for k, v in res.items()}
+        return (logits, new_k, new_v, jnp.minimum(count + n, M), res)
     return (logits, new_k, new_v, jnp.minimum(count + n, M))
 
 

@@ -58,6 +58,13 @@ from ._pallas_common import roll_lanes as _roll_lanes
 
 INTERPRET = False
 
+# True: stream the window pass's saved activations per (token, layer)
+# instead of recomputing each token's forward in-kernel (half the grid
+# steps and K/V restreaming; see _chain_res_kernel). False: the
+# self-recomputing kernel (_chain_kernel). Oracle equality tests cover
+# both (tests/test_gan_fullchain.py).
+RESIDUAL_STREAM = True
+
 
 def _dot_t(a, b):
     """[X, D] x [Y, D] -> [X, Y] (contract last with last: a @ b.T)."""
@@ -291,6 +298,148 @@ def _chain_kernel(sc_ref, ids_ref, s_ref, y_ref, temp_ref,
                 preferred_element_type=jnp.float32)             # [BB, V]
 
 
+def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
+                      k_ref, v_ref, r_ref,
+                      qw_ref, kw_ref, vw_ref, ow_ref,
+                      ff1_ref, ff2_ref,
+                      lnas_ref, lnab_ref, lnfs_ref,
+                      rwb_ref, mh_ref, embw_ref, embt_ref,
+                      xs_ref, z1_ref, z2_ref, ffp_ref, prob_ref,
+                      q_out,
+                      dx_ref, chi_ref, row_ref, h3_ref, qh_ref, *,
+                      n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
+                      cdtype, eps_ln, scale):
+    """Residual-streaming variant of ``_chain_kernel``: the L
+    forward-recompute phases are gone — the batched window pass
+    (xl.decode_recompute_window collect_residuals=True) already computed
+    every token's activations, and this kernel streams them per
+    (token, layer) from HBM instead of recomputing them per token.
+    Grid ``(n, L, NB)``: token index major (reverse trajectory order),
+    one BACKWARD phase per layer (p -> layer L-1-p), batch blocks minor.
+    Halves the grid steps and the K/V re-streaming of the recompute
+    variant; per-(t,l) it only recomputes the per-head queries (one
+    [BB,HD]x[HD,HD] matmul) rather than streaming them.
+
+    Residual blocks arrive in kernel lane frame: xs/z1/z2 [n,L,B,HD],
+    ff_pre [n,L,B,DI] (sign only is consumed), prob [n,L,B,H,KL] fp32
+    with exact zeros on masked/padded lanes (window softmax of
+    finfo.min scores), which keeps ds zero there — the roll/self-lane
+    algebra below is unchanged from ``_chain_kernel``."""
+    i = pl.program_id(0)
+    p = pl.program_id(1)
+    bb = pl.program_id(2)
+    t = n - 1 - i
+    count = sc_ref[0]
+    B = NB * BB
+    bs = pl.multiple_of(bb * BB, BB)
+
+    mh = mh_ref[:].astype(cdtype)                               # [H, HD]
+
+    @pl.when(jnp.logical_and(i == 0,
+                             jnp.logical_and(p == 0, bb == 0)))
+    def _():
+        chi_ref[:] = jnp.zeros((B, V), jnp.float32)
+
+    # first phase of each token: straight-through + softmax backward ->
+    # logits cotangent q_t; seed dx with the logits head transpose
+    @pl.when(jnp.logical_and(p == 0, bb == 0))
+    def _():
+        T = temp_ref[0, 0]
+        m = s_ref[0] + chi_ref[:]                               # [B, V]
+        y = y_ref[0]
+        qv = (y * (m - jnp.sum(m * y, axis=-1, keepdims=True))) / T
+        q_out[0] = qv
+        dx_ref[:] = jax.lax.dot_general(
+            qv.astype(cdtype), embt_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # [B, HD]
+
+    dxp = dx_ref[pl.ds(bs, BB), :]                              # f32
+    x = xs_ref[0, 0, pl.ds(bs, BB)]                             # [BB,HD]
+    z1 = z1_ref[0, 0, pl.ds(bs, BB)]
+    z2 = z2_ref[0, 0, pl.ds(bs, BB)]
+    ff_pre = ffp_ref[0, 0, pl.ds(bs, BB)]
+    prob = prob_ref[0, 0, pl.ds(bs, BB)]                        # f32
+
+    # recompute the rw-biased per-head queries from the layer input
+    if pre_lnorm:
+        w_in, _, _ = _ln_fwd(x, lnas_ref[0], lnab_ref[0], eps_ln)
+        w_in = w_in.astype(cdtype)
+    else:
+        w_in = x
+    q = _dot(w_in, qw_ref[0]).astype(cdtype)                    # [BB,HD]
+    row_ref[:] = q + rwb_ref[:].astype(cdtype)
+    for r in range(BB):
+        qh_ref[r] = row_ref[r:r + 1, :] * mh
+    qHw = qh_ref[:BB]                                           # [BB,H,HD]
+
+    # FF + norms
+    if pre_lnorm:
+        dz2 = dxp                                               # x' = z2
+    else:
+        dz2 = _ln_bwd(dxp, z2, lnfs_ref[0], eps_ln)
+    dff1 = _dot_t(dz2.astype(cdtype), ff2_ref[0])               # [BB, DI]
+    dffpre = jnp.where(ff_pre.astype(jnp.float32) > 0, dff1, 0.0)
+    dffin = _dot_t(dffpre.astype(cdtype), ff1_ref[0])           # [BB, HD]
+    if pre_lnorm:
+        # z2 = z1 + ff, ff_in = LN_f(z1)
+        dz1 = dz2 + _ln_bwd(dffin, z1, lnfs_ref[0], eps_ln)
+    else:
+        # z2 = h1 + ff, ff_in = h1 = LN_a(z1)
+        dh1 = dz2 + dffin
+        dz1 = _ln_bwd(dh1, z1, lnas_ref[0], eps_ln)
+    dattn = dz1
+    dx_acc = dz1                                                # residual
+
+    # attention backward (cross lanes constant, self lane live)
+    dctx = _dot_t(dattn.astype(cdtype), ow_ref[0])              # [BB, HD]
+    row_ref[:] = dctx.astype(cdtype)
+    for r in range(BB):
+        h3_ref[r] = row_ref[r:r + 1, :] * mh
+    dctx_h = h3_ref[:BB]                                        # [BB,H,HD]
+    dp = _bdot(dctx_h.astype(cdtype), v_ref[0])                 # [BB,H,KL]
+    pdp = prob * dp
+    ds = (prob * (dp - jnp.sum(pdp, axis=-1, keepdims=True))
+          ) * scale                                             # f32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, H, KL), 2)
+    is_self = lane == (M + t)
+    ds_self = jnp.sum(jnp.where(is_self, ds, 0.0), axis=2)      # [BB,H]
+    p_self = jnp.sum(jnp.where(is_self, prob, 0.0), axis=2)
+
+    dk_self = jnp.sum(
+        ds_self[:, :, None] * qHw.astype(jnp.float32), axis=1)
+    dv_self = jnp.sum(
+        p_self[:, :, None] * dctx_h.astype(jnp.float32), axis=1)
+
+    dqw_h = _bdot_k(ds.astype(cdtype), k_ref[0])                # [BB,H,HD]
+    # adjoint of bd = roll(bd_pad, t): roll ds back by t. ds is zero
+    # on every masked lane (softmax prob there is exactly 0), so the
+    # lanes that land on the zero-padded r rows contribute nothing.
+    dbd = _roll_lanes(ds, (KL - t) % KL)
+    dqr_h = jax.lax.dot_general(
+        dbd.astype(cdtype), r_ref[0], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [BB,H,HD]
+    dq = jnp.sum((dqw_h + dqr_h) * mh[None].astype(jnp.float32),
+                 axis=1)                                        # [BB, HD]
+
+    dwin = (_dot_t(dq.astype(cdtype), qw_ref[0])
+            + _dot_t(dk_self.astype(cdtype), kw_ref[0])
+            + _dot_t(dv_self.astype(cdtype), vw_ref[0]))
+    if pre_lnorm:
+        dx_total = dx_acc + _ln_bwd(dwin, x, lnas_ref[0], eps_ln)
+    else:
+        dx_total = dx_acc + dwin
+    dx_ref[pl.ds(bs, BB), :] = dx_total
+
+    # last phase: embedding transpose -> chi for token t-1
+    @pl.when(p == L - 1)
+    def _():
+        chi_ref[pl.ds(bs, BB), :] = jax.lax.dot_general(
+            dx_total.astype(cdtype), embw_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # [BB, V]
+
+
 def supports_chain_bwd(cfg, bsz: int, M: int, n: int) -> bool:
     """Shape/feature gate; callers fall back to the jnp chain scan."""
     return (cfg.cache_kv and cfg.use_pallas
@@ -393,6 +542,147 @@ def _make_chain_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm, cdtype,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
+                         cdtype, eps_ln, scale, interpret):
+    """Builder for the residual-streaming kernel (see _chain_res_kernel).
+    Same lane-padding contract as _make_chain_call; the prob residual is
+    zero on padded lanes by construction."""
+    cdtype = jnp.dtype(cdtype).type
+    kernel = functools.partial(
+        _chain_res_kernel, n=n, L=L, NB=NB, BB=BB, M=M, KL=KL, V=V,
+        HD=HD, DI=DI, H=H, pre_lnorm=pre_lnorm, cdtype=cdtype,
+        eps_ln=eps_ln, scale=scale)
+    B = NB * BB
+
+    def per_t(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, p, b, *_: (n - 1 - i,)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, p, b, *_: (L - 1 - p,)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_lb(shape):
+        return pl.BlockSpec((1, BB) + shape,
+                            lambda i, p, b, *_: (L - 1 - p, b)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_tl(shape):
+        return pl.BlockSpec((1, 1) + shape,
+                            lambda i, p, b, *_: (n - 1 - i, L - 1 - p)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, p, b, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, L, NB),
+        in_specs=[
+            per_t((B, V)),           # straight-through cotangents S
+            per_t((B, V)),           # saved softmax outputs Y
+            full((1, 1)),            # temperature
+            per_lb((KL, HD)),        # K full lanes
+            per_lb((KL, HD)),        # V full lanes
+            per_l((KL, HD)),         # positional projections, dist-rev
+            per_l((HD, HD)),         # q_w
+            per_l((HD, HD)),         # k_w
+            per_l((HD, HD)),         # v_w
+            per_l((HD, HD)),         # o_w
+            per_l((HD, DI)),         # ff_w1
+            per_l((DI, HD)),         # ff_w2
+            per_l((1, HD)),          # attn_ln_scale
+            per_l((1, HD)),          # attn_ln_bias
+            per_l((1, HD)),          # ff_ln_scale
+            full((1, HD)),           # r_w_bias
+            full((H, HD)),           # head mask
+            full((V, HD)),           # word_emb * sqrt(d)
+            full((HD, V)),           # word_emb^T
+            per_tl((B, HD)),         # xs residual
+            per_tl((B, HD)),         # z1 residual
+            per_tl((B, HD)),         # z2 residual
+            per_tl((B, DI)),         # ff_pre residual
+            per_tl((B, H, KL)),      # prob residual (fp32)
+        ],
+        out_specs=[per_t((B, V))],   # logits cotangents Q [n, B, V]
+        scratch_shapes=[
+            pltpu.VMEM((B, HD), jnp.float32),        # dx carry
+            pltpu.VMEM((B, V), jnp.float32),         # chi carry
+            pltpu.VMEM((BB, HD), cdtype),            # row broadcast tmp
+            pltpu.VMEM((BB, H, HD), cdtype),         # dctx per-head tmp
+            pltpu.VMEM((BB, H, HD), cdtype),         # qHw tmp
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, B, V), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+
+def chain_bwd_q_res(stacked, cfg, kf, vf, r_heads, S, Y, count,
+                    temperature, res):
+    """Residual-streaming variant of ``chain_bwd_q``: consumes the
+    window pass's saved activations (xl.decode_recompute_window
+    collect_residuals=True) instead of recomputing each token's forward
+    in-kernel. res: dict with x/z1/z2 [L, n, B, HD], ff_pre
+    [L, n, B, DI] (compute dtype), prob [L, B, H, n, KL0] fp32."""
+    L, B, KL0, HD = kf.shape
+    n = S.shape[0]
+    M = KL0 - n
+    V = S.shape[2]
+    BB = _pick_bb(B)
+    KL = -(-KL0 // 8) * 8            # sublane-align the lane buffers
+    call = _make_chain_res_call(
+        n, L, B // BB, BB, M, KL, V, HD, cfg.d_inner, cfg.n_head,
+        bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
+        1.0 / (cfg.d_head ** 0.5), INTERPRET)
+    sc = jnp.asarray([count], jnp.int32)
+    temp = jnp.asarray(temperature, jnp.float32).reshape(1, 1)
+
+    def pad_lanes(a, rows):
+        return jnp.concatenate(
+            [a, jnp.zeros(a.shape[:2] + (rows, HD), a.dtype)],
+            axis=2) if rows else a
+
+    kf = pad_lanes(kf, KL - KL0)
+    vf = pad_lanes(vf, KL - KL0)
+    r_pad = jnp.concatenate(
+        [r_heads, jnp.zeros((L, KL - (M + 1), HD), r_heads.dtype)],
+        axis=1) if KL > M + 1 else r_heads
+
+    cdt = jnp.dtype(cfg.cdtype)
+    xs = res["x"].transpose(1, 0, 2, 3).astype(cdt)       # [n,L,B,HD]
+    z1 = res["z1"].transpose(1, 0, 2, 3).astype(cdt)
+    z2 = res["z2"].transpose(1, 0, 2, 3).astype(cdt)
+    ffp = res["ff_pre"].transpose(1, 0, 2, 3).astype(cdt)
+    prob = res["prob"].transpose(3, 0, 1, 2, 4).astype(jnp.float32)
+    if KL > KL0:                                          # pad lanes
+        prob = jnp.concatenate(
+            [prob, jnp.zeros(prob.shape[:-1] + (KL - KL0,),
+                             prob.dtype)], axis=-1)
+
+    (q,) = call(sc, S.astype(jnp.float32), Y.astype(jnp.float32), temp,
+                kf, vf, r_pad,
+                stacked["q_w"], stacked["k_w"], stacked["v_w"],
+                stacked["o_w"], stacked["ff1"], stacked["ff2"],
+                stacked["ln_as"], stacked["ln_ab"], stacked["ln_fs"],
+                stacked["rwb"], stacked["mask_h"],
+                stacked["emb_scaled"], stacked["emb_t"],
+                xs, z1, z2, ffp, prob)
+    return q
 
 
 def chain_bwd_q(stacked, cfg, kf, vf, r_heads, ids, S, Y, count,
