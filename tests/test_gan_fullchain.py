@@ -193,3 +193,25 @@ def test_chain_kernel_matches_oracle(monkeypatch, tgt_len, chunks, bsz,
     l_got, g_got = _gen_loss_and_grad(gen_params, dis_params, rcfg,
                                       xcfg_p, gcfg_kernel, data, key)
     _assert_close(l_ref, g_ref, l_got, g_got)
+
+
+def test_chain_res_kernel_streamed_kv(monkeypatch):
+    """The residual-streaming kernel's streamed-K/V branch (resident-KV
+    gate off) must also match the oracle — tiny shapes always pass the
+    resident gate, so force it off."""
+    from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
+    monkeypatch.setattr(pdec, "INTERPRET", True)
+    monkeypatch.setattr(pchain, "INTERPRET", True)
+    monkeypatch.setattr(pchain, "RESIDUAL_STREAM", True)
+    monkeypatch.setattr(pchain, "_RES_KV_BUDGET", 0)
+    import dataclasses
+    (xcfg_p, gen_params, gcfg_off, gcfg_chain, rcfg, dis_params,
+     data) = _setup(16, 2, 8, 16, use_pallas=True)
+    gcfg_kernel = dataclasses.replace(gcfg_chain, chain_bwd="kernel")
+    xcfg_off = xl.XLConfig(**{**xcfg_p.__dict__, "use_pallas": False})
+    key = jax.random.PRNGKey(13)
+    l_ref, g_ref = _gen_loss_and_grad(gen_params, dis_params, rcfg,
+                                      xcfg_off, gcfg_off, data, key)
+    l_got, g_got = _gen_loss_and_grad(gen_params, dis_params, rcfg,
+                                      xcfg_p, gcfg_kernel, data, key)
+    _assert_close(l_ref, g_ref, l_got, g_got)

@@ -308,7 +308,7 @@ def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
                       q_out,
                       dx_ref, chi_ref, row_ref, h3_ref, qh_ref, *,
                       n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
-                      cdtype, eps_ln, scale):
+                      cdtype, eps_ln, scale, resident_kv):
     """Residual-streaming variant of ``_chain_kernel``: the L
     forward-recompute phases are gone — the batched window pass
     (xl.decode_recompute_window collect_residuals=True) already computed
@@ -359,6 +359,15 @@ def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
     z2 = z2_ref[0, 0, pl.ds(bs, BB)]
     ff_pre = ffp_ref[0, 0, pl.ds(bs, BB)]
     prob = prob_ref[0, 0, pl.ds(bs, BB)]                        # f32
+    if resident_kv:
+        # whole [L, B, KL, HD] K/V resident in VMEM (fetched once per
+        # launch): traced-leading-index reads, no per-(t, l) restream
+        li = L - 1 - p
+        kblk = k_ref[li, pl.ds(bs, BB)]                         # [BB,KL,HD]
+        vblk = v_ref[li, pl.ds(bs, BB)]
+    else:
+        kblk = k_ref[0]
+        vblk = v_ref[0]
 
     # recompute the rw-biased per-head queries from the layer input
     if pre_lnorm:
@@ -396,7 +405,7 @@ def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
     for r in range(BB):
         h3_ref[r] = row_ref[r:r + 1, :] * mh
     dctx_h = h3_ref[:BB]                                        # [BB,H,HD]
-    dp = _bdot(dctx_h.astype(cdtype), v_ref[0])                 # [BB,H,KL]
+    dp = _bdot(dctx_h.astype(cdtype), vblk)                     # [BB,H,KL]
     pdp = prob * dp
     ds = (prob * (dp - jnp.sum(pdp, axis=-1, keepdims=True))
           ) * scale                                             # f32
@@ -411,7 +420,7 @@ def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
     dv_self = jnp.sum(
         p_self[:, :, None] * dctx_h.astype(jnp.float32), axis=1)
 
-    dqw_h = _bdot_k(ds.astype(cdtype), k_ref[0])                # [BB,H,HD]
+    dqw_h = _bdot_k(ds.astype(cdtype), kblk)                    # [BB,H,HD]
     # adjoint of bd = roll(bd_pad, t): roll ds back by t. ds is zero
     # on every masked lane (softmax prob there is exactly 0), so the
     # lanes that land on the zero-padded r rows contribute nothing.
@@ -546,15 +555,17 @@ def _make_chain_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm, cdtype,
 
 @functools.lru_cache(maxsize=None)
 def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
-                         cdtype, eps_ln, scale, interpret):
+                         cdtype, eps_ln, scale, resident_kv, interpret):
     """Builder for the residual-streaming kernel (see _chain_res_kernel).
     Same lane-padding contract as _make_chain_call; the prob residual is
-    zero on padded lanes by construction."""
+    zero on padded lanes by construction. ``resident_kv``: hold the
+    whole [L, B, KL, HD] K/V in VMEM for the launch instead of
+    restreaming per (token, layer) — gated by chain_res_kv_vmem_bytes."""
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _chain_res_kernel, n=n, L=L, NB=NB, BB=BB, M=M, KL=KL, V=V,
         HD=HD, DI=DI, H=H, pre_lnorm=pre_lnorm, cdtype=cdtype,
-        eps_ln=eps_ln, scale=scale)
+        eps_ln=eps_ln, scale=scale, resident_kv=resident_kv)
     B = NB * BB
 
     def per_t(shape):
@@ -592,8 +603,10 @@ def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
             per_t((B, V)),           # straight-through cotangents S
             per_t((B, V)),           # saved softmax outputs Y
             full((1, 1)),            # temperature
-            per_lb((KL, HD)),        # K full lanes
-            per_lb((KL, HD)),        # V full lanes
+            (full((L, B, KL, HD)) if resident_kv
+             else per_lb((KL, HD))),  # K full lanes
+            (full((L, B, KL, HD)) if resident_kv
+             else per_lb((KL, HD))),  # V full lanes
             per_l((KL, HD)),         # positional projections, dist-rev
             per_l((HD, HD)),         # q_w
             per_l((HD, HD)),         # k_w
@@ -632,6 +645,20 @@ def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
     )
 
 
+def chain_res_kv_vmem_bytes(cfg, B: int, KL: int) -> int:
+    """VMEM bytes of a resident [L, B, KL, HD] K+V pair (lane-padded)."""
+    HD = cfg.n_head * cfg.d_head
+    bpe = 2 if jnp.dtype(cfg.cdtype).itemsize == 2 else 4
+    return 2 * cfg.n_layer * B * KL * (-(-HD // 128) * 128) * bpe
+
+
+# Resident-K/V VMEM budget: the double-buffered streamed blocks
+# (weights ~8.4 MB, residuals ~1.2 MB, S/Y/Q/r/emb ~1.5 MB) plus
+# scratch need ~12 MB; leave 15 MB of the kernel budget for them.
+# (The spanbert gen op-point's resident pair is 75.5 MB -> resident.)
+_RES_KV_BUDGET = _VMEM_LIMIT - 15 * 1024 * 1024
+
+
 def chain_bwd_q_res(stacked, cfg, kf, vf, r_heads, S, Y, count,
                     temperature, res):
     """Residual-streaming variant of ``chain_bwd_q``: consumes the
@@ -645,10 +672,11 @@ def chain_bwd_q_res(stacked, cfg, kf, vf, r_heads, S, Y, count,
     V = S.shape[2]
     BB = _pick_bb(B)
     KL = -(-KL0 // 8) * 8            # sublane-align the lane buffers
+    resident_kv = (chain_res_kv_vmem_bytes(cfg, B, KL) < _RES_KV_BUDGET)
     call = _make_chain_res_call(
         n, L, B // BB, BB, M, KL, V, HD, cfg.d_inner, cfg.n_head,
         bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
-        1.0 / (cfg.d_head ** 0.5), INTERPRET)
+        1.0 / (cfg.d_head ** 0.5), resident_kv, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1, 1)
 
