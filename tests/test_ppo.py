@@ -231,9 +231,36 @@ def test_ppo_phases_end_to_end_single_device(data_dir):
 def test_ppo_mesh_matches_single_device(data_dir):
     """One clf+gen phase pair with the ppo config on the 8-device mesh
     must produce the same dis_D/generator updates and the same P0 as on
-    one device (P0 rows are batch-sharded; GSPMD psums the grads)."""
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
+    one device (P0 rows are batch-sharded; GSPMD psums the grads).
+
+    Runs in a FRESH interpreter: inside the full suite (~170 programs
+    already compiled in-process) the XLA CPU compile of the mesh
+    gen_phase program segfaults deterministically; the identical test
+    body passes in a clean process (reproduced twice at the exact same
+    test, 2026-08-19). Subprocess isolation keeps the coverage without
+    depending on accumulated in-process compiler state."""
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # keep the TPU tunnel closed
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PPO_MESH_DATA_DIR"] = data_dir
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, cwd=repo, capture_output=True, text=True,
+                       timeout=1200)
+    assert r.returncode == 0, (
+        f"mesh comparison subprocess failed (rc={r.returncode})\n"
+        f"--- stdout ---\n{r.stdout[-4000:]}\n"
+        f"--- stderr ---\n{r.stderr[-4000:]}")
+
+
+def _mesh_comparison_main(data_dir):
+    """Body of test_ppo_mesh_matches_single_device (fresh interpreter)."""
+    assert len(jax.devices()) >= 8, jax.devices()
     cfg = _ppo_cfg()
 
     def run(n):
@@ -268,3 +295,8 @@ def test_ppo_mesh_matches_single_device(data_dir):
                        jax.tree.leaves(gen0)):
         np.testing.assert_allclose((a - z) * 8.0, b - z,
                                    atol=2e-4, rtol=2e-3)
+
+
+if __name__ == "__main__":
+    _mesh_comparison_main(os.environ["PPO_MESH_DATA_DIR"])
+    print("ppo mesh comparison OK")
