@@ -28,6 +28,16 @@ def parse_args():
 
 
 def load_vocab(vocab_path):
+    if not os.path.exists(vocab_path):
+        # The reference default ("../data/performance_vocab.txt",
+        # config.py EVENT.vocab_file_path) assumes its repo layout; fall
+        # back to the byte-identical vocab shipped inside the package so
+        # the CLI works from any cwd.
+        packaged = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "transformer_gan_tpu", "data", "performance_vocab.txt")
+        if os.path.exists(packaged):
+            vocab_path = packaged
     tokens_list = []
     with open(vocab_path, "r") as f:
         for line in f:
