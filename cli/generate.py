@@ -28,15 +28,20 @@ def parse_args():
 
 
 def load_vocab(vocab_path):
-    if not os.path.exists(vocab_path):
+    if (not os.path.exists(vocab_path)
+            and os.path.basename(vocab_path) == "performance_vocab.txt"):
         # The reference default ("../data/performance_vocab.txt",
         # config.py EVENT.vocab_file_path) assumes its repo layout; fall
         # back to the byte-identical vocab shipped inside the package so
-        # the CLI works from any cwd.
+        # the CLI works from any cwd. A custom (differently named) vocab
+        # path that is missing still fails loud below — silently
+        # substituting the packaged vocab would corrupt the id mapping.
         packaged = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "transformer_gan_tpu", "data", "performance_vocab.txt")
         if os.path.exists(packaged):
+            print(f"vocab {vocab_path} not found; using packaged "
+                  f"{packaged}")
             vocab_path = packaged
     tokens_list = []
     with open(vocab_path, "r") as f:

@@ -26,6 +26,15 @@ def test_load_vocab_falls_back_to_packaged_file():
     assert tok2idx[tokens[-1]] == 309
 
 
+def test_load_vocab_missing_custom_path_fails_loud(tmp_path):
+    """Only the reference-default basename falls back; a missing custom
+    vocab must NOT be silently replaced (wrong id mapping)."""
+    import pytest
+    cli = _load_cli()
+    with pytest.raises(FileNotFoundError):
+        cli.load_vocab(str(tmp_path / "my_custom_vocab.txt"))
+
+
 def test_load_vocab_prefers_explicit_existing_path(tmp_path):
     cli = _load_cli()
     p = tmp_path / "v.txt"

@@ -165,14 +165,14 @@ def test_chain_auto_falls_back_to_jnp_without_pallas():
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 
 
-@pytest.mark.parametrize("residual_stream", [False, True])
+@pytest.mark.parametrize("chain_impl", ["kernel_recompute", "kernel"])
 @pytest.mark.parametrize("tgt_len,chunks,bsz,mem_len,pre", [
     (32, 2, 8, 16, False),   # count growth + wrap, KL not 8-aligned
     (16, 1, 8, 32, False),   # single chunk, mem > sample_len
     (16, 2, 8, 16, True),    # pre-LN
 ])
 def test_chain_kernel_matches_oracle(monkeypatch, tgt_len, chunks, bsz,
-                                     mem_len, pre, residual_stream):
+                                     mem_len, pre, chain_impl):
     """The fused chain-backward kernel (ops/pallas_chain_bwd.py,
     interpret mode) must reproduce the sequential oracle's loss and ALL
     generator gradients — both the self-recomputing kernel and the
@@ -180,12 +180,11 @@ def test_chain_kernel_matches_oracle(monkeypatch, tgt_len, chunks, bsz,
     from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
     monkeypatch.setattr(pdec, "INTERPRET", True)
     monkeypatch.setattr(pchain, "INTERPRET", True)
-    monkeypatch.setattr(pchain, "RESIDUAL_STREAM", residual_stream)
     import dataclasses
     (xcfg_p, gen_params, gcfg_off, gcfg_chain, rcfg, dis_params,
      data) = _setup(tgt_len, chunks, bsz, mem_len, pre_lnorm=pre,
                     use_pallas=True)
-    gcfg_kernel = dataclasses.replace(gcfg_chain, chain_bwd="kernel")
+    gcfg_kernel = dataclasses.replace(gcfg_chain, chain_bwd=chain_impl)
     xcfg_off = xl.XLConfig(**{**xcfg_p.__dict__, "use_pallas": False})
     key = jax.random.PRNGKey(13)
     l_ref, g_ref = _gen_loss_and_grad(gen_params, dis_params, rcfg,
@@ -202,7 +201,6 @@ def test_chain_res_kernel_streamed_kv(monkeypatch):
     from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
     monkeypatch.setattr(pdec, "INTERPRET", True)
     monkeypatch.setattr(pchain, "INTERPRET", True)
-    monkeypatch.setattr(pchain, "RESIDUAL_STREAM", True)
     monkeypatch.setattr(pchain, "_RES_KV_BUDGET", 0)
     import dataclasses
     (xcfg_p, gen_params, gcfg_off, gcfg_chain, rcfg, dis_params,

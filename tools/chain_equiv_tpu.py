@@ -68,13 +68,12 @@ def run(dtype: str):
     l_jnp, g_jnp = grads(
         gan_mod.GanConfig(fused_sampler="off", chain_bwd="jnp", **gk),
         xcfg_off)
-    from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
-    gcfg_ker = gan_mod.GanConfig(fused_sampler="auto", chain_bwd="kernel",
-                                 **gk)
-    pchain.RESIDUAL_STREAM = False
-    l_ker, g_ker = grads(gcfg_ker, xcfg)
-    pchain.RESIDUAL_STREAM = True
-    l_res, g_res = grads(gcfg_ker, xcfg)
+    l_ker, g_ker = grads(
+        gan_mod.GanConfig(fused_sampler="auto",
+                          chain_bwd="kernel_recompute", **gk), xcfg)
+    l_res, g_res = grads(
+        gan_mod.GanConfig(fused_sampler="auto", chain_bwd="kernel",
+                          **gk), xcfg)
 
     def diff(a, b):
         return max(float(np.max(np.abs(x - y))) for x, y in zip(

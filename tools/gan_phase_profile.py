@@ -128,9 +128,10 @@ def main():
     bert_floor = make_bert_floor(True)
     timeit("bert_scoring_floor", bert_floor, dis_params, data_c, key)
     if "--rng-ablation" in sys.argv:
-        # same fwd+bwd, rbg dropout keys (the MLE loop's TPU PRNG)
-        timeit("bert_scoring_floor_rbg", bert_floor, dis_params, data_c,
-               jax.random.key(7, impl="rbg"))
+        # the pre-b0861fd baseline: threefry dropout keys (the ladder
+        # PERF.md records; the production key above is rbg now)
+        timeit("bert_scoring_floor_threefry", bert_floor, dis_params,
+               data_c, jax.random.key(7, impl="threefry2x32"))
         # no dropout at all: bounds the total mask+RNG cost
         timeit("bert_scoring_floor_nodrop", make_bert_floor(False),
                dis_params, data_c, key)

@@ -92,15 +92,13 @@ def main():
 
     if "--ab" in sys.argv:
         # recompute-in-kernel vs residual-streaming chain kernel only
-        variants = (("chain_recompute", "auto", "kernel"),
+        variants = (("chain_recompute", "auto", "kernel_recompute"),
                     ("chain_residual", "auto", "kernel"))
     elif trunc:
         variants = (("off", "off", "off"), ("recompute", "auto", "off"))
     else:
         variants = (("off", "off", "off"), ("chain", "auto", "kernel"))
-    from transformer_gan_tpu.ops import pallas_chain_bwd as pchain
     for name, fs, cb in variants:
-        pchain.RESIDUAL_STREAM = not name.endswith("_recompute")
         gcfg = gan_mod.GanConfig(fused_sampler=fs, chain_bwd=cb, **gk)
         phase = make_phase(gcfg)
         p = jax.tree.map(jnp.copy, gen_params)  # donated below

@@ -354,8 +354,10 @@ def _tpu(cfg: CfgNode) -> CfgNode:
     # recomputes, and runs the chain adjoint on the fused chain-backward
     # kernel when shapes qualify (ops/pallas_chain_bwd.py), else the jnp
     # reverse scan; "jnp" forces the scan-of-VJPs oracle; "kernel"
-    # asserts the kernel; "off" keeps the sequential sampling scan
-    # backward. Gradient-exact in every mode (tests/test_gan_fullchain).
+    # asserts the residual-streaming kernel; "kernel_recompute" asserts
+    # the self-recomputing kernel variant (A/B/debug); "off" keeps the
+    # sequential sampling scan backward. Gradient-exact in every mode
+    # (tests/test_gan_fullchain).
     cfg.TPU.gan_chain_bwd = "auto"
     cfg.TPU.donate = True
     cfg.TPU.profile_dir = ""            # jax.profiler trace dir ("" = off)

@@ -66,8 +66,10 @@ class GanConfig:
     # through the batched recompute + the jnp chain backward
     # (_chunk_st_fullchain — per-step dx-only VJPs, parameter gradients
     # from ONE batched window pullback); "kernel"/"auto" use the fused
-    # chain-backward kernel when shapes qualify (auto falls back to the
-    # sequential scan otherwise)
+    # residual-streaming chain-backward kernel when shapes qualify (auto
+    # falls back to the sequential scan otherwise); "kernel_recompute"
+    # forces the self-recomputing kernel variant (no window residuals —
+    # debug/A/B switch, same oracle-tested gradients)
     chain_bwd: str = "auto"
     # fused sampling kernels (ops/pallas_decode.py): "auto" uses them
     # whenever the chunked path is active and shapes qualify; "on"
@@ -78,7 +80,8 @@ class GanConfig:
     fused_sampler: str = "auto"
 
     def __post_init__(self):
-        if self.fused_sampler == "off" and self.chain_bwd == "kernel":
+        if (self.fused_sampler == "off"
+                and self.chain_bwd in ("kernel", "kernel_recompute")):
             raise ValueError(
                 "fused_sampler='off' forces the sequential sampling scan "
                 "in every phase, so the chain-backward kernel that "
@@ -526,13 +529,14 @@ def _chunk_st_fullchain_bwd(xcfg: xl.XLConfig, chain_impl, res, cts):
 
     from ..ops import pallas_chain_bwd as pchain
     kernel_ok = pchain.supports_chain_bwd(xcfg, bsz, M, n)
-    if chain_impl == "kernel" and not kernel_ok:
+    if chain_impl in ("kernel", "kernel_recompute") and not kernel_ok:
         raise ValueError(
-            "chain_bwd='kernel' but the fused chain-backward kernel "
-            "does not apply (needs cache_kv + use_pallas + qualifying "
-            f"shapes; bsz={bsz}, M={M}, n={n})")
-    use_kernel = kernel_ok and chain_impl in ("kernel", "auto")
-    if use_kernel and pchain.RESIDUAL_STREAM:
+            f"chain_bwd='{chain_impl}' but the fused chain-backward "
+            "kernel does not apply (needs cache_kv + use_pallas + "
+            f"qualifying shapes; bsz={bsz}, M={M}, n={n})")
+    use_kernel = kernel_ok and chain_impl in ("kernel", "auto",
+                                              "kernel_recompute")
+    if use_kernel and chain_impl != "kernel_recompute":
         # ONE window linearization supplies both the chain kernel's
         # residuals (aux) and the parameter pullback
         def win_logits_aux(p):
@@ -715,7 +719,8 @@ def sample_fake_chunks(gen_params, xcfg: xl.XLConfig, gcfg: GanConfig,
                 and gcfg.sample_len - gcfg.context_len >= 1
                 and not xcfg.append_note_status
                 and (gcfg.truncate_backprop
-                     or gcfg.chain_bwd in ("jnp", "kernel", "auto"))):
+                     or gcfg.chain_bwd in ("jnp", "kernel", "auto",
+                                           "kernel_recompute"))):
             return _sample_fake_chunks_recompute(
                 gen_params, xcfg, gcfg, data, temperature, rng)
     if chunked:

@@ -58,12 +58,12 @@ from ._pallas_common import roll_lanes as _roll_lanes
 
 INTERPRET = False
 
-# True: stream the window pass's saved activations per (token, layer)
-# instead of recomputing each token's forward in-kernel (half the grid
-# steps and K/V restreaming; see _chain_res_kernel). False: the
-# self-recomputing kernel (_chain_kernel). Oracle equality tests cover
-# both (tests/test_gan_fullchain.py).
-RESIDUAL_STREAM = True
+# Two kernel variants, selected by GanConfig.chain_bwd: "kernel"/"auto"
+# stream the window pass's saved activations per (token, layer)
+# (_chain_res_kernel — half the grid steps and K/V restreaming);
+# "kernel_recompute" recomputes each token's forward in-kernel
+# (_chain_kernel). Oracle equality tests cover both
+# (tests/test_gan_fullchain.py).
 
 
 def _dot_t(a, b):
@@ -329,7 +329,9 @@ def _chain_res_kernel(sc_ref, s_ref, y_ref, temp_ref,
     p = pl.program_id(1)
     bb = pl.program_id(2)
     t = n - 1 - i
-    count = sc_ref[0]
+    # sc_ref (valid-count scalar) is prefetched for index-map parity with
+    # _chain_kernel but not consumed here: masking is inherited from the
+    # residual probs' exact zeros on masked/padded lanes.
     B = NB * BB
     bs = pl.multiple_of(bb * BB, BB)
 
@@ -459,6 +461,56 @@ def supports_chain_bwd(cfg, bsz: int, M: int, n: int) -> bool:
             and not cfg.append_note_status)
 
 
+def _make_specs(n, BB, layer_of):
+    """BlockSpec builders shared by the two chain-kernel variants over a
+    (token i, phase p, batch-block b) grid; ``layer_of(p)`` maps the
+    phase index to the layer a per-layer operand should stream (the
+    self-recomputing kernel folds 2L fwd+bwd phases, the residual kernel
+    runs L backward-only phases)."""
+
+    def per_t(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, p, b, *_: (n - 1 - i,)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_l(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, p, b, *_: (layer_of(p),)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_lb(shape):
+        return pl.BlockSpec((1, BB) + shape,
+                            lambda i, p, b, *_: (layer_of(p), b)
+                            + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, p, b, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return per_t, per_l, per_lb, full
+
+
+def _pad_lane_buffers(kf, vf, r_heads, KL, KL0, M, HD):
+    """Zero-pad the K/V lane buffers and the distance-reversed positional
+    rows (M+1 -> KL) to the sublane-aligned lane count. Shared by both
+    chain-kernel wrappers — the padding contract must stay identical."""
+    rows = KL - KL0
+    if rows:
+        def pad(a):
+            return jnp.concatenate(
+                [a, jnp.zeros(a.shape[:2] + (rows, HD), a.dtype)], axis=2)
+
+        kf, vf = pad(kf), pad(vf)
+    if KL > M + 1:
+        r_heads = jnp.concatenate(
+            [r_heads, jnp.zeros((r_heads.shape[0], KL - (M + 1), HD),
+                                r_heads.dtype)], axis=1)
+    return kf, vf, r_heads
+
+
 @functools.lru_cache(maxsize=None)
 def _make_chain_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm, cdtype,
                      eps_ln, scale, interpret):
@@ -476,27 +528,7 @@ def _make_chain_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm, cdtype,
     def lof(pp):
         return jnp.where(pp < L, pp, 2 * L - 1 - pp)
 
-    def per_t(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, p, b, *_: (n - 1 - i,)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def per_l(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, p, b, *_: (lof(p),)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def per_lb(shape):
-        return pl.BlockSpec((1, BB) + shape,
-                            lambda i, p, b, *_: (lof(p), b)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def full(shape):
-        return pl.BlockSpec(shape, lambda i, p, b, *_: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+    per_t, per_l, per_lb, full = _make_specs(n, BB, lof)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -568,32 +600,12 @@ def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
         eps_ln=eps_ln, scale=scale, resident_kv=resident_kv)
     B = NB * BB
 
-    def per_t(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, p, b, *_: (n - 1 - i,)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def per_l(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, p, b, *_: (L - 1 - p,)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def per_lb(shape):
-        return pl.BlockSpec((1, BB) + shape,
-                            lambda i, p, b, *_: (L - 1 - p, b)
-                            + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+    per_t, per_l, per_lb, full = _make_specs(n, BB, lambda p: L - 1 - p)
 
     def per_tl(shape):
         return pl.BlockSpec((1, 1) + shape,
                             lambda i, p, b, *_: (n - 1 - i, L - 1 - p)
                             + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def full(shape):
-        return pl.BlockSpec(shape, lambda i, p, b, *_: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -679,17 +691,7 @@ def chain_bwd_q_res(stacked, cfg, kf, vf, r_heads, S, Y, count,
         1.0 / (cfg.d_head ** 0.5), resident_kv, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1, 1)
-
-    def pad_lanes(a, rows):
-        return jnp.concatenate(
-            [a, jnp.zeros(a.shape[:2] + (rows, HD), a.dtype)],
-            axis=2) if rows else a
-
-    kf = pad_lanes(kf, KL - KL0)
-    vf = pad_lanes(vf, KL - KL0)
-    r_pad = jnp.concatenate(
-        [r_heads, jnp.zeros((L, KL - (M + 1), HD), r_heads.dtype)],
-        axis=1) if KL > M + 1 else r_heads
+    kf, vf, r_pad = _pad_lane_buffers(kf, vf, r_heads, KL, KL0, M, HD)
 
     cdt = jnp.dtype(cfg.cdtype)
     xs = res["x"].transpose(1, 0, 2, 3).astype(cdt)       # [n,L,B,HD]
@@ -736,17 +738,7 @@ def chain_bwd_q(stacked, cfg, kf, vf, r_heads, ids, S, Y, count,
         1.0 / (cfg.d_head ** 0.5), INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1, 1)
-
-    def pad_lanes(a, rows):
-        return jnp.concatenate(
-            [a, jnp.zeros(a.shape[:2] + (rows, HD), a.dtype)],
-            axis=2) if rows else a
-
-    kf = pad_lanes(kf, KL - KL0)
-    vf = pad_lanes(vf, KL - KL0)
-    r_pad = jnp.concatenate(
-        [r_heads, jnp.zeros((L, KL - (M + 1), HD), r_heads.dtype)],
-        axis=1) if KL > M + 1 else r_heads
+    kf, vf, r_pad = _pad_lane_buffers(kf, vf, r_heads, KL, KL0, M, HD)
     (q,) = call(sc, ids[..., None].astype(jnp.int32),
                 S.astype(jnp.float32), Y.astype(jnp.float32), temp,
                 kf, vf, r_pad,
