@@ -227,3 +227,52 @@ def test_gumbel_generation_chunked_matches_rolling():
     assert np.asarray(toks_kv).shape == (seq_len, bsz)
     np.testing.assert_array_equal(np.asarray(toks_kv),
                                   np.asarray(toks_roll))
+
+
+def test_chunked_decode_mem_smaller_than_chunk():
+    """mem_len < DECODE_CHUNK: the decode chunk must be capped at the
+    ring size (regression: the merge grew the buffer — scan carry shape
+    mismatch — and the staging BD slice clamped at t > M). Chunked
+    sampling must match the rolling path token-for-token."""
+    import dataclasses
+    assert sampling.DECODE_CHUNK > 16
+    xcfg_kv = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                          dropout=0.0, dropatt=0.0, cache_kv=True)
+    xcfg_roll = dataclasses.replace(xcfg_kv, cache_kv=False)
+    params = xl.init_xl_params(xcfg_kv, seed=5)
+    mem_len, bsz, length = 16, 2, 40  # several merges of the small ring
+    scfg = sampling.SamplingConfig(technique="topk", topk=8,
+                                   temperature=0.9)
+    rng = jax.random.PRNGKey(11)
+    first = jnp.zeros((bsz,), jnp.int32)
+
+    toks_kv, _ = sampling.sample_scan(
+        params, xcfg_kv, scfg, first,
+        xl.init_mems(xcfg_kv, mem_len, bsz), length, rng)
+    toks_roll, _ = sampling.sample_scan(
+        params, xcfg_roll, scfg, first,
+        xl.init_mems(xcfg_roll, mem_len, bsz), length, rng)
+    np.testing.assert_array_equal(np.asarray(toks_kv),
+                                  np.asarray(toks_roll))
+
+
+def test_gumbel_generation_mem_smaller_than_chunk():
+    """Same regression for generate_tokens_gumbel when the priming mems
+    ring is smaller than DECODE_CHUNK."""
+    import dataclasses
+    xcfg_kv = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                          dropout=0.0, dropatt=0.0, cache_kv=True)
+    xcfg_roll = dataclasses.replace(xcfg_kv, cache_kv=False)
+    params = xl.init_xl_params(xcfg_kv, seed=6)
+    mem_len, bsz, seq_len = 12, 2, 39
+    rng = jax.random.PRNGKey(13)
+    first = jnp.zeros((bsz,), jnp.int32)
+
+    toks_kv = sampling.generate_tokens_gumbel(
+        params, xcfg_kv, 1.0, seq_len, first,
+        xl.init_mems(xcfg_kv, mem_len, bsz), rng)
+    toks_roll = sampling.generate_tokens_gumbel(
+        params, xcfg_roll, 1.0, seq_len, first,
+        xl.init_mems(xcfg_roll, mem_len, bsz), rng)
+    np.testing.assert_array_equal(np.asarray(toks_kv),
+                                  np.asarray(toks_roll))

@@ -154,7 +154,10 @@ def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
 
     if xcfg.cache_kv:
         from ..ops import pallas_generate as pgen
-        C = min(DECODE_CHUNK, length)
+        # A chunk may not exceed the memory length: the positional rows
+        # cover distances 0..M only, and the staging BD slice / ring
+        # merge both assume every in-chunk predecessor is within M.
+        C = min(DECODE_CHUNK, length, mems.hids.shape[4])
         bsz = first_token.shape[0]
         if pgen.supports_fused_generate(xcfg, scfg, bsz,
                                         mems.hids.shape[4], C):
@@ -288,7 +291,7 @@ def _fused_sample_loop(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
     bsz = first_token.shape[0]
     V = xcfg.n_token
     M = mems.hids.shape[4]
-    C = min(DECODE_CHUNK, length)
+    C = min(DECODE_CHUNK, length, M)     # chunk must fit the ring (<= M)
     P = (-M) % 128                       # front pad -> aligned lanes
 
     def dense(x):  # [h, b, M, dh] -> [b, M, hd]
@@ -367,7 +370,8 @@ def generate_tokens_gumbel(params, xcfg: xl.XLConfig, temperature: float,
 
     if xcfg.cache_kv:
         from ..ops import pallas_generate as pgen
-        C = min(DECODE_CHUNK, length)
+        # chunk must fit the ring (<= M), see sample_scan
+        C = min(DECODE_CHUNK, length, mems.hids.shape[4])
         bsz = first_token.shape[0]
         # gumbel-argmax: argmax(l + g) with NO softmax/clamp, for the
         # pre-transformed gumbel g of THIS path's rng stream

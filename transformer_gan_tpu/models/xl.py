@@ -646,6 +646,11 @@ def merge_decode_state(cfg: XLConfig, state: DecodeState, stage: tuple,
     shift-left + append; one big copy per chunk, not per token). The
     positional rows (kr rows M..2M) stay in place."""
     M = state.kv[0][1].shape[1]
+    if n > M:
+        raise ValueError(
+            f"merge of {n} staged tokens exceeds the {M}-slot ring; cap "
+            "the decode chunk at mem_len (infer/sample.py DECODE_CHUNK "
+            "sites) — positions beyond M have no positional rows")
     kv = tuple(
         (jnp.concatenate([kr[:, n:M], sk[:, :n], kr[:, M:]], axis=1),
          jnp.concatenate([v[:, n:], sv[:, :n]], axis=1))
