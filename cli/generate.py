@@ -158,10 +158,11 @@ def main(inference_cfg):
         # lanes on one device. Prefer the LARGEST wave the fused
         # generation kernel supports at this op-point (its VMEM gate
         # bounds the lane count as mem_len grows): the decode is
-        # KV-HBM bound, so even a 1-lane fused wave (109 us/token
-        # measured) out-aggregates the 8-lane jnp wave (~7.4k events/s
-        # measured); fall back to 8-lane jnp when no fused wave applies
-        # (e.g. nucleus sampling).
+        # KV-HBM bound, so any fused wave out-aggregates any jnp wave
+        # (measured at mem 4146: fused 2-lane 9.8k / 1-lane 9.3k
+        # events/s vs jnp 8-lane 7.1k / 16-lane 8.0k — see PERF.md,
+        # tools/gen_lanes_tpu.py); fall back to 8-lane jnp when no
+        # fused wave applies (e.g. nucleus sampling).
         from transformer_gan_tpu.ops import pallas_generate as pgen
         n_files = inference_cfg.INPUT.num_midi_files
         generation_length = inference_cfg.GENERATION.generation_length
