@@ -155,11 +155,11 @@ def main(inference_cfg):
     if (not inference_cfg.GENERATION.duration_based
             and not inference_cfg.MODEL.debug):
         # Fixed-length generation: batch independent files into waves of
-        # lanes on one device. Prefer the LARGEST wave the fused
-        # generation kernel supports at this op-point (its VMEM gate
-        # bounds the lane count as mem_len grows): the decode is
-        # KV-HBM bound, so any fused wave out-aggregates any jnp wave
-        # (measured at mem 4146: fused 2-lane 9.8k / 1-lane 9.3k
+        # lanes on one device. Prefer the LARGEST wave that keeps the
+        # K/V cache RESIDENT in the fused kernel's VMEM (87 us/token
+        # measured at mem 4146 — faster than ANY wider wave), then the
+        # largest streamed fused wave (any fused wave out-aggregates
+        # any jnp wave: fused 2-lane 9.8k / 1-lane-resident 11.6k
         # events/s vs jnp 8-lane 7.1k / 16-lane 8.0k — see PERF.md,
         # tools/gen_lanes_tpu.py); fall back to 8-lane jnp when no
         # fused wave applies (e.g. nucleus sampling).
@@ -168,10 +168,12 @@ def main(inference_cfg):
         generation_length = inference_cfg.GENERATION.generation_length
         max_lanes = 8
         chunk = min(sampling.DECODE_CHUNK, generation_length)
-        for cand in (8, 4, 2, 1):
-            if pgen.supports_fused_generate(xcfg, scfg, cand, mem_len,
-                                            chunk):
-                max_lanes = cand
+        for gate in (pgen.supports_kv_resident,
+                     pgen.supports_fused_generate):
+            cap = next((cand for cand in (8, 4, 2, 1)
+                        if gate(xcfg, scfg, cand, mem_len, chunk)), None)
+            if cap is not None:
+                max_lanes = cap
                 break
         done = 0
         while done < n_files:

@@ -86,6 +86,33 @@ def _oracle_match(monkeypatch, technique, bsz, mem_len, length,
     assert int(mems_got.count) == int(mems_ref.count)
 
 
+def test_kv_streamed_matches_kv_resident(monkeypatch):
+    """The small shapes above auto-pass the resident-K/V budget, so the
+    oracle-match tests cover the kv_resident path; this pins the
+    STREAMED fallback (wider batches at big mem) to the same ids by
+    forcing the budget gate off."""
+    monkeypatch.setattr(pgen, "INTERPRET", True)
+    xcfg_jnp, xcfg_fused, params = _setup()
+    scfg = isample.SamplingConfig(technique="topk", topk=5,
+                                  temperature=0.9, exclude_bos=True,
+                                  num_empty_to_ignore=0)
+    key = jax.random.PRNGKey(11)
+    assert pgen.generate_vmem_bytes(
+        xcfg_fused, 2, 128, 32, kv_resident=True) < pgen._KV_RES_BUDGET
+    res, mems_res = _run(params, xcfg_fused, scfg, 40, 2, 40, key)
+    monkeypatch.setattr(pgen, "_KV_RES_BUDGET", 0)
+    pgen._make_gen_call.cache_clear()
+    jax.clear_caches()   # sample_scan_jit's statics are unchanged
+    try:
+        got, mems_got = _run(params, xcfg_fused, scfg, 40, 2, 40, key)
+    finally:
+        pgen._make_gen_call.cache_clear()
+        jax.clear_caches()
+    np.testing.assert_array_equal(res, got)
+    np.testing.assert_allclose(
+        np.asarray(mems_got.hids), np.asarray(mems_res.hids), atol=1e-6)
+
+
 def test_fused_generate_argmax_and_suppression(monkeypatch):
     """temperature==0 argmax plus the stateful repeated-TIME_SHIFT_100
     suppression counter must match the oracle."""
@@ -137,6 +164,21 @@ def test_vmem_gate_refuses_oversize_shapes():
     # the validated bench op-point (single lane, mem 4146 front-padded
     # to 4224) must stay inside the gate
     assert pgen.supports_fused_generate(big, scfg, 1, 4224, 32)
+
+
+def test_kv_resident_gate_op_points():
+    """Resident-K/V selection at the flagship inference op-point: a
+    single lane at mem 4146 holds the whole 50.7MB K/V pair in VMEM
+    (the measured 108 -> 87 us/token win); two lanes exceed the raised
+    budget and must fall back to the streamed fused wave."""
+    big = xl.XLConfig(n_layer=6, n_head=10, d_model=500, d_inner=1000,
+                      n_token=310, cache_kv=True, use_pallas=True,
+                      compute_dtype="bfloat16")
+    scfg = isample.SamplingConfig(technique="topk", topk=32)
+    assert pgen.supports_kv_resident(big, scfg, 1, 4146, 32)
+    assert not pgen.supports_kv_resident(big, scfg, 2, 4146, 32)
+    # but 2 lanes remain fused-capable on the streamed path
+    assert pgen.supports_fused_generate(big, scfg, 2, 4146, 32)
 
 
 def test_nucleus_stays_on_jnp_path():

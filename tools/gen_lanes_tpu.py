@@ -49,9 +49,17 @@ def main():
     length = 512 if quick else 1024
     chunk = min(32, mem_len)
 
+    no_res = "--no-res-kv" in sys.argv
+    if no_res:
+        pgen._KV_RES_BUDGET = 0
+
     for lanes in lane_list:
         fused = pgen.supports_fused_generate(
             xcfg, scfg, lanes, mem_len, chunk)
+        kv_res = pgen.supports_kv_resident(
+            xcfg, scfg, lanes, mem_len, chunk)
+        path = ("fused+resKV" if kv_res
+                else "fused" if fused else "jnp")
         first = jnp.full((lanes,), 2, jnp.int32)
         mems = xl.init_mems(xcfg, mem_len, lanes)
         t0 = time.time()
@@ -59,7 +67,7 @@ def main():
             params, xcfg, scfg, first, mems, length,
             jax.random.PRNGKey(0))
         np.asarray(toks)
-        print(f"lanes={lanes:3d} path={'fused' if fused else 'jnp'} "
+        print(f"lanes={lanes:3d} path={path} "
               f"compile+first: {time.time()-t0:.1f}s", flush=True)
         iters = 1 if quick else 2
         t0 = time.time()
@@ -69,7 +77,7 @@ def main():
                 jax.random.PRNGKey(1 + i))
             np.asarray(toks)
         dt = (time.time() - t0) / iters
-        print(f"lanes={lanes:3d} path={'fused' if fused else 'jnp'}: "
+        print(f"lanes={lanes:3d} path={path}: "
               f"{length * lanes / dt:.1f} events/s aggregate "
               f"({dt / length * 1e6:.0f} us/step)", flush=True)
 

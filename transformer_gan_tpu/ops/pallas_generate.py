@@ -12,8 +12,13 @@ runs embed -> all layers -> logits -> logit surgery -> top-k threshold
 -> categorical draw -> feedback, with
 
 * weights and the positional projections RESIDENT in VMEM (fetched
-  once per launch; the K/V cache streams per (token, layer) — the
-  physical floor),
+  once per launch), and — when the whole [L, B, M, HD] pair fits the
+  raised VMEM budget (single stream at the unconditional op-point
+  does) — the K/V cache itself resident too: the cache is read-only
+  within a chunk, so ONE fetch serves all T tokens instead of
+  re-streaming 50.7 MB per (token, layer) grid step (which was the
+  measured 108 us/token bandwidth bound); wider batches fall back to
+  per-(t, l) streaming,
 * the staged-K/V ring in the output refs and the sampled-token /
   empty-run-counter feedback in VMEM scratch (nothing leaves the chip
   between tokens),
@@ -62,6 +67,16 @@ _NEG = -1e30                     # python literal: jnp module-level
 # pallas_decode.RESIDENT.
 RESIDENT = True
 
+# Resident K/V: when the whole [L, B, M, HD] K/V pair fits the raised
+# budget, it sits in VMEM for the launch — the per-token HBM traffic
+# drops from the full cache (50.7 MB at the unconditional op-point,
+# the measured 108 us/token bandwidth bound) to ~nothing; the cache is
+# read-only within a chunk, so one fetch serves all T tokens. The
+# raised limit is still under v5e's 128 MiB physical VMEM; the
+# streamed path remains the fallback (and the equivalence oracle).
+_GEN_RES_VMEM_LIMIT = 120 * 1024 * 1024
+_KV_RES_BUDGET = _GEN_RES_VMEM_LIMIT - 10 * 1024 * 1024
+
 # Categorical-draw epilogue variant. True: the oracle's formulas
 # verbatim (softmax -> prob-space top-k -> log(max(p, 1e-38)) floor) —
 # exact in the low-temperature softmax-underflow regime. False: the
@@ -89,11 +104,16 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 T, L, NB, B, M, C, V, HD, pre_lnorm, cdtype, eps_ln,
                 scale, technique, topk, temperature, exclude_bos,
                 num_empty, empty_token, same_length, resident,
-                oracle_exact):
+                kv_resident, oracle_exact):
     t = pl.program_id(0)
     li = pl.program_id(1)
     count = sc_ref[0]
     wl = li if resident else 0
+    # kv_resident: the whole [L, B, M, HD] K/V pair sits in VMEM for the
+    # launch (fetched ONCE per chunk instead of per (t, l) grid step —
+    # traced-leading-index reads, same pattern as pallas_chain_bwd's
+    # resident K/V); otherwise the per-layer block streams from HBM.
+    kvl = li if kv_resident else 0
 
     @pl.when(jnp.logical_and(t == 0, li == 0))
     def _():
@@ -146,7 +166,7 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
     qHw = qhw_ref[:]                                           # [B,H,HD]
     qHr = qhr_ref[:]
 
-    ac_big = _bdot(qHw, k_ref[0]).astype(cdtype)               # [B,H,M]
+    ac_big = _bdot(qHw, k_ref[kvl]).astype(cdtype)             # [B,H,M]
     ac_st = _bdot(qHw, sk_new).astype(cdtype)                  # [B,H,C]
     bd_rev = jax.lax.dot_general(
         qHr, r_ref[wl], (((2,), (1,)), ((), ())),
@@ -172,7 +192,7 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
     e = jnp.exp(score - mx)
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
 
-    vcat = jnp.concatenate([v_ref[0], sv_new], axis=1)         # [B,KL,HD]
+    vcat = jnp.concatenate([v_ref[kvl], sv_new], axis=1)       # [B,KL,HD]
     ctx_h = jax.lax.dot_general(
         p, vcat, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                    # [B,H,HD]
@@ -277,22 +297,28 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
         er_out[:] = er_s[:]
 
 
-def generate_vmem_bytes(cfg, bsz: int, M: int, C: int) -> int:
-    """Rough VMEM footprint of the generation kernel: double-buffered
-    per-(t,l) K/V stream blocks + resident weights/R/embedding + the
-    staged rings and per-step gumbel rows (mirrors the BlockSpecs in
-    _make_gen_call; companion of pallas_decode.decode_chunk_vmem_bytes)."""
+def generate_vmem_bytes(cfg, bsz: int, M: int, C: int,
+                        kv_resident: bool = False) -> int:
+    """Rough VMEM footprint of the generation kernel: K/V either as
+    double-buffered per-(t,l) stream blocks or (``kv_resident``) the
+    whole single-buffered [L, B, M, HD] pair, + resident
+    weights/R/embedding + the staged rings and per-step gumbel rows
+    (mirrors the BlockSpecs in _make_gen_call; companion of
+    pallas_decode.decode_chunk_vmem_bytes)."""
     L, HD, DI, V = (cfg.n_layer, cfg.n_head * cfg.d_head, cfg.d_inner,
                     cfg.n_token)
     bpe = 2 if jnp.dtype(cfg.cdtype).itemsize == 2 else 4
-    kv_stream = 2 * 2 * bsz * M * HD * bpe        # K+V, double-buffered
+    if kv_resident:
+        kv = 2 * L * bsz * M * HD * bpe           # whole pair, one fetch
+    else:
+        kv = 2 * 2 * bsz * M * HD * bpe           # K+V, double-buffered
     weights = L * (4 * HD * HD + 2 * HD * DI) * bpe
     r = L * (M + 1) * HD * bpe
     emb = 2 * V * HD * bpe
     staging = 2 * L * bsz * C * HD * bpe
     g = 2 * bsz * V * 4                            # per-t, double-buffered
     scratch = (2 * bsz * HD + 2 * bsz * cfg.n_head * HD) * bpe
-    return kv_stream + weights + r + emb + staging + g + scratch
+    return kv + weights + r + emb + staging + g + scratch
 
 
 def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
@@ -314,11 +340,25 @@ def supports_fused_generate(cfg, scfg, bsz: int, M: int, C: int) -> bool:
             < int(_VMEM_LIMIT * 0.85))
 
 
+def supports_kv_resident(cfg, scfg, bsz: int, M: int, C: int) -> bool:
+    """True when the fused path would run with the whole K/V pair
+    resident in VMEM (one fetch per chunk) at this op-point. Measured
+    strictly faster than any wider streamed/jnp wave (87 vs 205+
+    us/step at mem 4146 — PERF.md), so the generate CLI prefers the
+    largest kv-resident-capable lane count over a wider streamed one.
+    Uses the lane-padded M the kernel will actually see."""
+    Mp = M + (-M) % 128
+    return (supports_fused_generate(cfg, scfg, bsz, M, C)
+            and RESIDENT
+            and generate_vmem_bytes(cfg, bsz, Mp, C, kv_resident=True)
+            < _KV_RES_BUDGET)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                    eps_ln, scale, technique, topk, temperature,
                    exclude_bos, num_empty, empty_token, same_length,
-                   resident, oracle_exact, interpret):
+                   resident, kv_resident, oracle_exact, interpret):
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _gen_kernel, T=T, L=L, NB=1, B=B, M=M, C=C, V=V, HD=HD,
@@ -326,7 +366,8 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
         technique=technique, topk=topk, temperature=temperature,
         exclude_bos=exclude_bos, num_empty=num_empty,
         empty_token=empty_token, same_length=same_length,
-        resident=resident, oracle_exact=oracle_exact)
+        resident=resident, kv_resident=kv_resident,
+        oracle_exact=oracle_exact)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda t, l, *_: (0,) * len(shape),
@@ -353,8 +394,10 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
             full((B, 1)),            # seed ids
             full((B, 1)),            # seed empty-run counters
             per_t((B, V)),           # gumbel noise per step
-            per_l((B, M, HD)),       # K big (streamed per (t, l))
-            per_l((B, M, HD)),       # V big
+            (full((L, B, M, HD)) if kv_resident
+             else per_l((B, M, HD))),  # K big (resident or per-(t,l))
+            (full((L, B, M, HD)) if kv_resident
+             else per_l((B, M, HD))),  # V big
             wspec((M + 1, HD)),      # R positional projections
             wspec((HD, HD)),         # q_w
             wspec((HD, HD)),         # k_w
@@ -400,7 +443,8 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=(_GEN_RES_VMEM_LIMIT if kv_resident
+                              else _VMEM_LIMIT)),
     )
 
 
@@ -415,14 +459,16 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
     """
     L, B, M, HD = K.shape
     V = g.shape[2]
+    kv_resident = (RESIDENT and generate_vmem_bytes(
+        cfg, B, M, max(n, 1), kv_resident=True) < _KV_RES_BUDGET)
     call = _make_gen_call(
         n, L, B, M, max(n, 1), V, HD, cfg.d_inner, cfg.n_head,
         bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
         1.0 / (cfg.d_head ** 0.5),
         scfg.technique, int(scfg.topk), float(scfg.temperature),
         bool(scfg.exclude_bos), int(scfg.num_empty_to_ignore),
-        int(scfg.empty_token), bool(same_length), RESIDENT, ORACLE_EXACT,
-        INTERPRET)
+        int(scfg.empty_token), bool(same_length), RESIDENT, kv_resident,
+        ORACLE_EXACT, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, er_f, toks, sk, sv = call(
         sc, ids, er, g,
