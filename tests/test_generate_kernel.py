@@ -88,9 +88,11 @@ def _oracle_match(monkeypatch, technique, bsz, mem_len, length,
 
 def test_kv_streamed_matches_kv_resident(monkeypatch):
     """The small shapes above auto-pass the resident-K/V budget, so the
-    oracle-match tests cover the kv_resident path; this pins the
-    STREAMED fallback (wider batches at big mem) to the same ids by
-    forcing the budget gate off."""
+    oracle-match tests cover the default rolled kv_resident path; this
+    pins the other two fetch/grid variants to the same ids: the
+    layer-unrolled (T,) grid (UNROLL_LAYERS on — measured perf
+    negative, kept as a variant) and the streamed per-(t, l) fallback
+    (budget gate forced off — what wider batches at big mem run)."""
     monkeypatch.setattr(pgen, "INTERPRET", True)
     xcfg_jnp, xcfg_fused, params = _setup()
     scfg = isample.SamplingConfig(technique="topk", topk=5,
@@ -100,15 +102,24 @@ def test_kv_streamed_matches_kv_resident(monkeypatch):
     assert pgen.generate_vmem_bytes(
         xcfg_fused, 2, 128, 32, kv_resident=True) < pgen._KV_RES_BUDGET
     res, mems_res = _run(params, xcfg_fused, scfg, 40, 2, 40, key)
+    # layer-unrolled (T,) grid with resident K/V (UNROLL_LAYERS on)
+    monkeypatch.setattr(pgen, "UNROLL_LAYERS", True)
+    jax.clear_caches()   # sample_scan_jit's statics are unchanged
+    unrl, mems_unrl = _run(params, xcfg_fused, scfg, 40, 2, 40, key)
+    # streamed per-(t, l) K/V (budget gate forced off)
     monkeypatch.setattr(pgen, "_KV_RES_BUDGET", 0)
     pgen._make_gen_call.cache_clear()
-    jax.clear_caches()   # sample_scan_jit's statics are unchanged
+    jax.clear_caches()
     try:
         got, mems_got = _run(params, xcfg_fused, scfg, 40, 2, 40, key)
     finally:
         pgen._make_gen_call.cache_clear()
         jax.clear_caches()
+    np.testing.assert_array_equal(res, unrl)
     np.testing.assert_array_equal(res, got)
+    np.testing.assert_allclose(
+        np.asarray(mems_unrl.hids), np.asarray(mems_res.hids),
+        atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(mems_got.hids), np.asarray(mems_res.hids), atol=1e-6)
 

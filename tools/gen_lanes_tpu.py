@@ -43,9 +43,14 @@ def main():
     xcfg = xl.XLConfig(compute_dtype="bfloat16", cache_kv=True,
                        use_pallas=True)
     params = xl.init_xl_params(xcfg, seed=0)
+    # --argmax: temperature-0 branch (no top-k select loop) — isolates
+    # the epilogue's 31-pass k-th-largest loop from the layer compute
+    temp = 0.0 if "--argmax" in sys.argv else 0.95
     scfg = isample.SamplingConfig(technique="topk", topk=32,
-                                  temperature=0.95)
+                                  temperature=temp)
     mem_len = 4146
+    if "--mem" in sys.argv:
+        mem_len = int(sys.argv[sys.argv.index("--mem") + 1])
     length = 512 if quick else 1024
     chunk = min(32, mem_len)
 

@@ -77,6 +77,15 @@ RESIDENT = True
 _GEN_RES_VMEM_LIMIT = 120 * 1024 * 1024
 _KV_RES_BUDGET = _GEN_RES_VMEM_LIMIT - 10 * 1024 * 1024
 
+# Unroll the layers into ONE grid step per token (requires every
+# operand resident). MEASURED NEGATIVE on chip (2026-08-20, mem 4146
+# B=1): 91 us/token unrolled vs 87 rolled — the (T, L) grid steps
+# pipeline, so their bookkeeping is already hidden; the 58 us/token
+# M-independent floor (measured at mem 128) is real per-layer VPU work
+# (staging where-writes, LNs, per-row head ops), not grid overhead.
+# Kept as an equivalence-tested variant; default off.
+UNROLL_LAYERS = False
+
 # Categorical-draw epilogue variant. True: the oracle's formulas
 # verbatim (softmax -> prob-space top-k -> log(max(p, 1e-38)) floor) —
 # exact in the low-temperature softmax-underflow regime. False: the
@@ -104,119 +113,144 @@ def _gen_kernel(sc_ref, ids0_ref, er0_ref, g_ref,
                 T, L, NB, B, M, C, V, HD, pre_lnorm, cdtype, eps_ln,
                 scale, technique, topk, temperature, exclude_bos,
                 num_empty, empty_token, same_length, resident,
-                kv_resident, oracle_exact):
+                kv_resident, unroll, oracle_exact):
     t = pl.program_id(0)
-    li = pl.program_id(1)
     count = sc_ref[0]
-    wl = li if resident else 0
-    # kv_resident: the whole [L, B, M, HD] K/V pair sits in VMEM for the
-    # launch (fetched ONCE per chunk instead of per (t, l) grid step —
-    # traced-leading-index reads, same pattern as pallas_chain_bwd's
-    # resident K/V); otherwise the per-layer block streams from HBM.
-    kvl = li if kv_resident else 0
-
-    @pl.when(jnp.logical_and(t == 0, li == 0))
-    def _():
-        ids_s[:] = ids0_ref[:]
-        er_s[:] = er0_ref[:]
-
-    @pl.when(t == 0)
-    def _():
-        sk_out[li] = jnp.zeros((B, C, HD), cdtype)
-        sv_out[li] = jnp.zeros((B, C, HD), cdtype)
 
     # ---- embed previous token ----
-    @pl.when(li == 0)
-    def _():
+    def embed():
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
         oh = (lane == ids_s[:]).astype(cdtype)
         x_ref[:] = _dot(oh, embw_ref[:]).astype(cdtype)
 
-    x = x_ref[:]                                               # [B, HD]
-    if pre_lnorm:
-        w_in = _ln(x, lnas_ref[wl], lnab_ref[wl], eps_ln)
+    def layer(li, wl, kvl):
+        # one decoder layer; wl indexes the (resident) weight refs, kvl
+        # the K/V refs. kv_resident: the whole [L, B, M, HD] K/V pair
+        # sits in VMEM for the launch (fetched ONCE per chunk instead of
+        # per (t, l) grid step — traced-leading-index reads, same
+        # pattern as pallas_chain_bwd's resident K/V); otherwise the
+        # per-layer block streams from HBM.
+        x = x_ref[:]                                           # [B, HD]
+        if pre_lnorm:
+            w_in = _ln(x, lnas_ref[wl], lnab_ref[wl], eps_ln)
+        else:
+            w_in = x
+
+        q = _dot(w_in, qw_ref[wl]).astype(cdtype)              # [B, HD]
+        k = _dot(w_in, kw_ref[wl]).astype(cdtype)
+        v = _dot(w_in, vw_ref[wl]).astype(cdtype)
+
+        srow = jax.lax.broadcasted_iota(jnp.int32, (C, HD), 0)
+        tmp_ref[:] = k
+        for b in range(B):
+            sk_out[li, b] = jnp.where(
+                srow == t,
+                jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
+                sk_out[li, b])
+        tmp_ref[:] = v
+        for b in range(B):
+            sv_out[li, b] = jnp.where(
+                srow == t,
+                jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
+                sv_out[li, b])
+        sk_new = sk_out[li]                                    # [B,C,HD]
+        sv_new = sv_out[li]
+
+        mh = mh_ref[:].astype(cdtype)                          # [H, HD]
+        tmp_ref[:] = q + rwb_ref[:].astype(cdtype)
+        for b in range(B):
+            qhw_ref[b] = tmp_ref[b:b + 1, :] * mh
+        tmp_ref[:] = q + rrb_ref[:].astype(cdtype)
+        for b in range(B):
+            qhr_ref[b] = tmp_ref[b:b + 1, :] * mh
+        qHw = qhw_ref[:]                                       # [B,H,HD]
+        qHr = qhr_ref[:]
+
+        ac_big = _bdot(qHw, k_ref[kvl]).astype(cdtype)         # [B,H,M]
+        ac_st = _bdot(qHw, sk_new).astype(cdtype)              # [B,H,C]
+        bd_rev = jax.lax.dot_general(
+            qHr, r_ref[wl], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [B,H,M+1]
+        H = mh.shape[0]
+        bd_pad = (jnp.concatenate(
+            [bd_rev, jnp.zeros((B, H, C - 1), jnp.float32)],
+            axis=-1) if C > 1 else bd_rev)                     # [B,H,M+C]
+        bd_cat = _roll_lanes(bd_pad, t)
+
+        score = (jnp.concatenate([ac_big, ac_st], axis=-1)
+                     .astype(jnp.float32)
+                 + bd_cat) * scale                             # [B,H,KL]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, H, M + C), 2)
+        # decode mask (decode_chunk_step): big lanes j < max(M - count,
+        # t + sl) with sl = 1 under same_length; staged lanes s > t
+        sl = 1 if same_length else 0
+        masked = (((lane < M) & (lane < jnp.maximum(M - count, t + sl)))
+                  | ((lane >= M) & (lane > M + t)))
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        score = jnp.where(masked, neg, score)
+        mx = jnp.max(score, axis=-1, keepdims=True)
+        e = jnp.exp(score - mx)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+
+        vcat = jnp.concatenate([v_ref[kvl], sv_new], axis=1)   # [B,KL,HD]
+        ctx_h = jax.lax.dot_general(
+            p, vcat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # [B,H,HD]
+        ctx = jnp.sum(ctx_h * mh[None].astype(jnp.float32),
+                      axis=1).astype(cdtype)                   # [B, HD]
+
+        attn = _dot(ctx, ow_ref[wl]).astype(cdtype)
+        if pre_lnorm:
+            out = x + attn
+            ff_in = _ln(out, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
+        else:
+            out = _ln(x + attn, lnas_ref[wl], lnab_ref[wl], eps_ln)
+            ff_in = out
+        ff = jax.nn.relu(_dot(ff_in, ff1_ref[wl]).astype(cdtype)
+                         + fb1_ref[wl].astype(cdtype))
+        ff = (_dot(ff, ff2_ref[wl]).astype(cdtype)
+              + fb2_ref[wl].astype(cdtype))
+        if pre_lnorm:
+            x_new = out + ff
+        else:
+            x_new = _ln(out + ff, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
+        x_ref[:] = x_new.astype(cdtype)
+
+    if unroll:
+        # one grid step per token, all layers inline (requires every
+        # operand resident). Measured NEGATIVE vs the rolled grid —
+        # see UNROLL_LAYERS; kept as an equivalence-tested variant.
+        @pl.when(t == 0)
+        def _():
+            ids_s[:] = ids0_ref[:]
+            er_s[:] = er0_ref[:]
+            for li in range(L):
+                sk_out[li] = jnp.zeros((B, C, HD), cdtype)
+                sv_out[li] = jnp.zeros((B, C, HD), cdtype)
+
+        embed()
+        for li in range(L):
+            layer(li, li, li)
+        run_epilogue = lambda fn: fn()
     else:
-        w_in = x
+        li = pl.program_id(1)
 
-    q = _dot(w_in, qw_ref[wl]).astype(cdtype)                  # [B, HD]
-    k = _dot(w_in, kw_ref[wl]).astype(cdtype)
-    v = _dot(w_in, vw_ref[wl]).astype(cdtype)
+        @pl.when(jnp.logical_and(t == 0, li == 0))
+        def _():
+            ids_s[:] = ids0_ref[:]
+            er_s[:] = er0_ref[:]
 
-    srow = jax.lax.broadcasted_iota(jnp.int32, (C, HD), 0)
-    tmp_ref[:] = k
-    for b in range(B):
-        sk_out[li, b] = jnp.where(
-            srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
-            sk_out[li, b])
-    tmp_ref[:] = v
-    for b in range(B):
-        sv_out[li, b] = jnp.where(
-            srow == t, jnp.broadcast_to(tmp_ref[b:b + 1, :], (C, HD)),
-            sv_out[li, b])
-    sk_new = sk_out[li]                                        # [B,C,HD]
-    sv_new = sv_out[li]
+        @pl.when(t == 0)
+        def _():
+            sk_out[li] = jnp.zeros((B, C, HD), cdtype)
+            sv_out[li] = jnp.zeros((B, C, HD), cdtype)
 
-    mh = mh_ref[:].astype(cdtype)                              # [H, HD]
-    tmp_ref[:] = q + rwb_ref[:].astype(cdtype)
-    for b in range(B):
-        qhw_ref[b] = tmp_ref[b:b + 1, :] * mh
-    tmp_ref[:] = q + rrb_ref[:].astype(cdtype)
-    for b in range(B):
-        qhr_ref[b] = tmp_ref[b:b + 1, :] * mh
-    qHw = qhw_ref[:]                                           # [B,H,HD]
-    qHr = qhr_ref[:]
-
-    ac_big = _bdot(qHw, k_ref[kvl]).astype(cdtype)             # [B,H,M]
-    ac_st = _bdot(qHw, sk_new).astype(cdtype)                  # [B,H,C]
-    bd_rev = jax.lax.dot_general(
-        qHr, r_ref[wl], (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [B,H,M+1]
-    H = mh.shape[0]
-    bd_pad = (jnp.concatenate(
-        [bd_rev, jnp.zeros((B, H, C - 1), jnp.float32)],
-        axis=-1) if C > 1 else bd_rev)                         # [B,H,M+C]
-    bd_cat = _roll_lanes(bd_pad, t)
-
-    score = (jnp.concatenate([ac_big, ac_st], axis=-1)
-                 .astype(jnp.float32)
-             + bd_cat) * scale                                 # [B,H,KL]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, H, M + C), 2)
-    # decode mask (decode_chunk_step): big lanes j < max(M - count,
-    # t + sl) with sl = 1 under same_length; staged lanes s > t
-    sl = 1 if same_length else 0
-    masked = (((lane < M) & (lane < jnp.maximum(M - count, t + sl)))
-              | ((lane >= M) & (lane > M + t)))
-    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-    score = jnp.where(masked, neg, score)
-    mx = jnp.max(score, axis=-1, keepdims=True)
-    e = jnp.exp(score - mx)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
-
-    vcat = jnp.concatenate([v_ref[kvl], sv_new], axis=1)       # [B,KL,HD]
-    ctx_h = jax.lax.dot_general(
-        p, vcat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                    # [B,H,HD]
-    ctx = jnp.sum(ctx_h * mh[None].astype(jnp.float32),
-                  axis=1).astype(cdtype)                       # [B, HD]
-
-    attn = _dot(ctx, ow_ref[wl]).astype(cdtype)
-    if pre_lnorm:
-        out = x + attn
-        ff_in = _ln(out, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
-    else:
-        out = _ln(x + attn, lnas_ref[wl], lnab_ref[wl], eps_ln)
-        ff_in = out
-    ff = jax.nn.relu(_dot(ff_in, ff1_ref[wl]).astype(cdtype)
-                     + fb1_ref[wl].astype(cdtype))
-    ff = _dot(ff, ff2_ref[wl]).astype(cdtype) + fb2_ref[wl].astype(cdtype)
-    if pre_lnorm:
-        x_new = out + ff
-    else:
-        x_new = _ln(out + ff, lnfs_ref[wl], lnfb_ref[wl], eps_ln)
-    x_ref[:] = x_new.astype(cdtype)
+        pl.when(li == 0)(embed)
+        layer(li, li if resident else 0, li if kv_resident else 0)
+        run_epilogue = pl.when(li == L - 1)
 
     # ---- logits + surgery + top-k threshold + categorical ----
-    @pl.when(li == L - 1)
+    @run_epilogue
     def _():
         xf = x_ref[:].astype(cdtype)                           # [B, HD]
         l = (_dot(xf, embt_ref[:]).astype(cdtype)
@@ -358,7 +392,11 @@ def supports_kv_resident(cfg, scfg, bsz: int, M: int, C: int) -> bool:
 def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
                    eps_ln, scale, technique, topk, temperature,
                    exclude_bos, num_empty, empty_token, same_length,
-                   resident, kv_resident, oracle_exact, interpret):
+                   resident, kv_resident, unroll, oracle_exact,
+                   interpret):
+    if unroll:
+        # one grid step per token needs every operand resident
+        assert resident and kv_resident
     cdtype = jnp.dtype(cdtype).type
     kernel = functools.partial(
         _gen_kernel, T=T, L=L, NB=1, B=B, M=M, C=C, V=V, HD=HD,
@@ -366,19 +404,22 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
         technique=technique, topk=topk, temperature=temperature,
         exclude_bos=exclude_bos, num_empty=num_empty,
         empty_token=empty_token, same_length=same_length,
-        resident=resident, kv_resident=kv_resident,
+        resident=resident, kv_resident=kv_resident, unroll=unroll,
         oracle_exact=oracle_exact)
 
+    # index maps take (*grid_indices, scalar_ref): rank-agnostic lambdas
+    # serve both the (T, L) grid and the unrolled (T,) grid
     def full(shape):
-        return pl.BlockSpec(shape, lambda t, l, *_: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda *_: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def per_t(shape):
         return pl.BlockSpec((1,) + shape,
-                            lambda t, l, *_: (t,) + (0,) * len(shape),
+                            lambda t, *_: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def per_l(shape):
+        assert not unroll
         return pl.BlockSpec((1,) + shape,
                             lambda t, l, *_: (l,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
@@ -389,7 +430,7 @@ def _make_gen_call(T, L, B, M, C, V, HD, DI, H, pre_lnorm, cdtype,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, L),
+        grid=(T,) if unroll else (T, L),
         in_specs=[
             full((B, 1)),            # seed ids
             full((B, 1)),            # seed empty-run counters
@@ -461,6 +502,7 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
     V = g.shape[2]
     kv_resident = (RESIDENT and generate_vmem_bytes(
         cfg, B, M, max(n, 1), kv_resident=True) < _KV_RES_BUDGET)
+    unroll = kv_resident and UNROLL_LAYERS
     call = _make_gen_call(
         n, L, B, M, max(n, 1), V, HD, cfg.d_inner, cfg.n_head,
         bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
@@ -468,7 +510,7 @@ def fused_generate_chunk(stacked, cfg, scfg, K, Vb, R, ids, er, g,
         scfg.technique, int(scfg.topk), float(scfg.temperature),
         bool(scfg.exclude_bos), int(scfg.num_empty_to_ignore),
         int(scfg.empty_token), bool(same_length), RESIDENT, kv_resident,
-        ORACLE_EXACT, INTERPRET)
+        unroll, ORACLE_EXACT, INTERPRET)
     sc = jnp.asarray([count], jnp.int32)
     ids_f, er_f, toks, sk, sv = call(
         sc, ids, er, g,
