@@ -150,6 +150,79 @@ def test_gan_mesh_matches_single_device(data_dir):
                                    atol=2e-5, rtol=2e-4)
 
 
+def _tiny_spanbert_cfg():
+    """The flagship spanbert op-point shrunk to test size: BERT
+    discriminator + wgan-gp (second-order gradient-penalty grads — the
+    most sharding-sensitive program in the stack) + layer freezing.
+    Reference: training_config/experiment_spanbert.yml:43-75."""
+    cfg = _tiny_gan_cfg()
+    cfg.defrost()
+    cfg.DISCRIMINATOR.type = "bert"
+    cfg.DISCRIMINATOR.BERT.hidden_size = 32
+    cfg.DISCRIMINATOR.BERT.num_hidden_layers = 2
+    cfg.DISCRIMINATOR.BERT.num_attention_heads = 2
+    cfg.DISCRIMINATOR.BERT.intermediate_size = 64
+    cfg.DISCRIMINATOR.BERT.loss_type = "wgan-gp"
+    cfg.DISCRIMINATOR.BERT.random_weights = True
+    cfg.DISCRIMINATOR.BERT.freeze_layers = ["0"]
+    cfg.freeze()
+    return cfg
+
+
+def test_spanbert_gan_mesh_matches_single_device(data_dir):
+    """BERT-D + wgan-gp dis/gen phases on the 8-device mesh must match
+    the identical phases on one device (GSPMD psum of the sharded-batch
+    second-order GP grads == the full-batch grads), with the frozen
+    layer actually frozen."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from transformer_gan_tpu.train.loop import Trainer
+
+    cfg = _tiny_spanbert_cfg()
+
+    def run(mesh_devices):
+        from transformer_gan_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(mesh_devices)
+        with tempfile.TemporaryDirectory() as wd:
+            trainer = Trainer(cfg, data_dir=data_dir, work_dir=wd,
+                              debug=True, mesh=mesh)
+            dis0 = jax.tree.map(np.asarray, trainer.gan.dis_params)
+            gen0 = jax.tree.map(np.asarray, trainer.state.params)
+            trainer.gan.dis_phase(1)
+            trainer.gan.gen_phase(1)
+            return (jax.tree.map(np.asarray, trainer.gan.dis_params),
+                    jax.tree.map(np.asarray, trainer.state.params),
+                    dis0, gen0)
+
+    dis8, gen8, dis0, gen0 = run(8)
+    dis1, gen1, _, _ = run(1)
+
+    # the dis update was real (wgan-gp wiring is live on the mesh)
+    assert any(
+        not np.array_equal(a, z)
+        for a, z in zip(jax.tree.leaves(dis8), jax.tree.leaves(dis0)))
+
+    for a, b in zip(jax.tree.leaves(dis8), jax.tree.leaves(dis1)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=2e-4)
+    for a, b, z in zip(jax.tree.leaves(gen8), jax.tree.leaves(gen1),
+                       jax.tree.leaves(gen0)):
+        np.testing.assert_allclose((a - z) * 8.0, b - z,
+                                   atol=2e-5, rtol=2e-4)
+
+    # frozen encoder layer 0 must not have moved; embeddings (random
+    # init) must be trainable (calculate_unfreeze_idx semantics,
+    # transformer_gan.py:568-585)
+    for a, z in zip(jax.tree.leaves(dis8["layers"][0]),
+                    jax.tree.leaves(dis0["layers"][0])):
+        np.testing.assert_array_equal(a, z)
+    moved = any(
+        not np.array_equal(a, z)
+        for a, z in zip(jax.tree.leaves(dis8["layers"][1]),
+                        jax.tree.leaves(dis0["layers"][1])))
+    assert moved, "unfrozen BERT layer did not move over a dis phase"
+
+
 def test_gan_parallel_chunks_matches_scan(data_dir):
     """TPU.gan_parallel_chunks (vmap'ed micro-chunks, one wide sampling
     scan) produces the same dis/gen updates as the sequential lax.scan

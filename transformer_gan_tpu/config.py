@@ -252,6 +252,15 @@ def _discriminator(cfg: CfgNode) -> CfgNode:
     cfg.DISCRIMINATOR.BERT.model_path = "../BERT/checkpoint-1969000"
     cfg.DISCRIMINATOR.BERT.freeze_layers = []
     cfg.DISCRIMINATOR.BERT.random_weights = False
+    # Architecture: the reference sizes its BERT from the HF checkpoint
+    # dir (BertConfig.from_pretrained, transformer_gan.py:537-538). Here
+    # these default to the reference op-point (BERT/main.py pretrainer
+    # defaults) and are overridden by the orbax checkpoint's
+    # metadata.json "config" entry when model_path is loadable.
+    cfg.DISCRIMINATOR.BERT.hidden_size = 768
+    cfg.DISCRIMINATOR.BERT.num_hidden_layers = 5
+    cfg.DISCRIMINATOR.BERT.num_attention_heads = 12
+    cfg.DISCRIMINATOR.BERT.intermediate_size = 3072
 
     cfg.DISCRIMINATOR.CNN = CfgNode()
     cfg.DISCRIMINATOR.CNN.learning_rate = 1e-4

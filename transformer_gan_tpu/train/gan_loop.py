@@ -33,6 +33,33 @@ from . import optim as topt
 from . import step as tstep
 
 
+def _bert_dis_cfg(cfg, vocab_len: int) -> "bert_mod.BertConfig":
+    """BertConfig for the discriminator/critic: sized from the
+    DISCRIMINATOR.BERT knobs, overridden by the checkpoint's recorded
+    config when model_path is loadable — the TPU equivalent of the
+    reference sizing its BERT from the HF checkpoint dir
+    (BertConfig.from_pretrained, transformer_gan.py:537-538). Computes
+    in TPU.compute_dtype like the generator."""
+    b = cfg.DISCRIMINATOR.BERT
+    kw = dict(vocab_size=vocab_len + 1,
+              hidden_size=int(b.hidden_size),
+              num_hidden_layers=int(b.num_hidden_layers),
+              num_attention_heads=int(b.num_attention_heads),
+              intermediate_size=int(b.intermediate_size),
+              compute_dtype=cfg.TPU.compute_dtype)
+    if not b.random_weights and not is_null(b.model_path) and \
+            os.path.isdir(b.model_path):
+        meta = ckpt.load_metadata(b.model_path).get("config", {})
+        for key in ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size"):
+            if key in meta:
+                kw[key] = int(meta[key])
+    assert kw["vocab_size"] >= vocab_len + 1, (
+        f"BERT checkpoint vocab {kw['vocab_size']} cannot embed the "
+        f"{vocab_len}-token music vocab (+1 for [MASK])")
+    return bert_mod.BertConfig(**kw)
+
+
 def _bert_trainable_mask(params, freeze_layers, random_weights: bool):
     """True = trainable. Embeddings frozen unless random init; encoder
     layers whose index is in freeze_layers frozen
@@ -56,9 +83,19 @@ def _bert_trainable_mask(params, freeze_layers, random_weights: bool):
 
 
 def _masked(optimizer, mask):
+    """Exact freeze for mask==False leaves, matching the reference's
+    requires_grad=False semantics (no .grad -> no contribution to the
+    clip norm, no Adam state motion, no weight decay, zero update).
+
+    NOT plain ``optax.masked(optimizer, mask)``: that leaves masked-out
+    leaves' updates UNTRANSFORMED — the raw gradient would be ADDED to
+    frozen params by apply_updates (caught by
+    tests/test_gan_mesh.py::test_spanbert_gan_mesh_matches_single_device)."""
     if mask is None:
         return optimizer
-    return optax.masked(optimizer, mask)
+    frozen = jax.tree.map(lambda t: not t, mask)
+    zero_frozen = optax.masked(optax.set_to_zero(), frozen)
+    return optax.chain(zero_frozen, optimizer, zero_frozen)
 
 
 def _make_dis_optimizer(cfg, dis_params):
@@ -119,14 +156,15 @@ class GanPhases:
 
         # ---- discriminator params (reference train.py:366,377-387) ----
         if d.type == "bert":
-            self.dis_cfg = bert_mod.BertConfig(
-                vocab_size=len(trainer.vocab) + 1)
+            self.dis_cfg = _bert_dis_cfg(cfg, len(trainer.vocab))
             self.dis_params = self._init_bert(
-                d.BERT.model_path, d.BERT.random_weights, seed=17)
+                self.dis_cfg, d.BERT.model_path, d.BERT.random_weights,
+                seed=17)
         elif d.type == "cnn":
             self.dis_cfg = disc_mod.RelganConfig(
                 embed_dim=d.CNN.embed_dim, num_rep=d.CNN.num_rep,
-                vocab_size=len(trainer.vocab), init=d.CNN.init)
+                vocab_size=len(trainer.vocab), init=d.CNN.init,
+                compute_dtype=cfg.TPU.compute_dtype)
             self.dis_params = disc_mod.init_relgan_params(self.dis_cfg,
                                                           seed=17)
         else:
@@ -162,14 +200,15 @@ class GanPhases:
         self.disD_opt_state = None
         if self.gcfg.ppo:
             if cfg.PPO.dis_D_type == "bert":
-                self.disD_cfg = bert_mod.BertConfig(
-                    vocab_size=len(trainer.vocab) + 1)
+                self.disD_cfg = _bert_dis_cfg(cfg, len(trainer.vocab))
                 self.disD_params = self._init_bert(
-                    d.BERT.model_path, d.BERT.random_weights, seed=23)
+                    self.disD_cfg, d.BERT.model_path, d.BERT.random_weights,
+                    seed=23)
             else:
                 self.disD_cfg = disc_mod.RelganConfig(
                     embed_dim=d.CNN.embed_dim, num_rep=cfg.PPO.dis_D_num_rep,
-                    vocab_size=len(trainer.vocab), init=d.CNN.init)
+                    vocab_size=len(trainer.vocab), init=d.CNN.init,
+                    compute_dtype=cfg.TPU.compute_dtype)
                 self.disD_params = disc_mod.init_relgan_params(
                     self.disD_cfg, seed=23)
             self.disD_optimizer = optax.chain(
@@ -225,10 +264,14 @@ class GanPhases:
         self.log_dis_num = 0
 
     # ------------------------------------------------------------------
-    def _init_bert(self, model_path, random_weights, seed):
-        params = bert_mod.init_bert_params(
-            bert_mod.BertConfig(vocab_size=len(self.trainer.vocab) + 1),
-            seed=seed)
+    def _init_bert(self, dis_cfg, model_path, random_weights, seed):
+        """Init + optional trunk warm start. With a loadable MLM
+        checkpoint this matches the reference "bert_lm" path (load
+        BertForMaskedLM, graft its .bert trunk into a fresh
+        classification head, transformer_gan.py:540-553): the non-strict
+        restore copies every matching trunk leaf and keeps the fresh
+        random cls/pooler head (and skips the checkpoint's MLM head)."""
+        params = bert_mod.init_bert_params(dis_cfg, seed=seed)
         if not random_weights and not is_null(model_path) and \
                 os.path.isdir(model_path):
             logging.info("Loading BERT discriminator weights from %s",
