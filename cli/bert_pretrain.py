@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--save_steps", default=1000, type=int)
     parser.add_argument("--save_total_limit", default=2, type=int)
     parser.add_argument("--eval_steps", default=1000, type=int)
+    parser.add_argument("--compute_dtype", default="float32", type=str,
+                        help="matmul/activation dtype (bfloat16 on TPU; "
+                        "the reference's apex-fp16 counterpart)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -63,7 +66,8 @@ def main():
         max_steps=args.max_steps, max_grad_norm=args.max_grad_norm,
         mlm_probability=args.mlm_probability, seed=args.seed,
         logging_steps=args.logging_steps, save_steps=args.save_steps,
-        save_total_limit=args.save_total_limit, eval_steps=args.eval_steps)
+        save_total_limit=args.save_total_limit, eval_steps=args.eval_steps,
+        compute_dtype=args.compute_dtype)
     trainer.train()
 
 

@@ -92,14 +92,16 @@ class MlmTrainer:
                  mlm_probability: float = 0.15, seed: int = 42,
                  logging_steps: int = 100, save_steps: int = 1000,
                  save_total_limit: int = 2, eval_steps: int = 1000,
-                 mesh=None, rng_impl: str = "rbg"):
+                 mesh=None, rng_impl: str = "rbg",
+                 compute_dtype: str = "float32"):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.tokenizer = MIDITokenizer(vocab_file)
         self.cfg = bert_mod.BertConfig(
             vocab_size=len(self.tokenizer),
             num_hidden_layers=num_hidden_layers, hidden_size=hidden_size,
-            max_position_embeddings=max(block_size, 512))
+            max_position_embeddings=max(block_size, 512),
+            compute_dtype=compute_dtype)
         self.block_size = block_size
         self.batch_size = batch_size
         self.max_steps = max_steps

@@ -40,7 +40,19 @@ class Classifier(Metrics):
         from ..models import bert as bert_mod
         from ..train import checkpoint as ckpt
 
-        cfg = bert_mod.BertConfig()
+        # Size the BERT from the checkpoint's recorded config when
+        # available (the reference reads the HF config.json next to the
+        # weights, classifier.py:136-147); defaults otherwise.
+        kw = {}
+        try:
+            meta = ckpt.load_metadata(self.model_name_or_path)
+            for key in ("vocab_size", "hidden_size", "num_hidden_layers",
+                        "num_attention_heads", "intermediate_size"):
+                if key in meta.get("config", {}):
+                    kw[key] = int(meta["config"][key])
+        except Exception:
+            pass
+        cfg = bert_mod.BertConfig(**kw)
         params = bert_mod.init_bert_params(cfg, seed=0)
         self.load_failed = False
         try:
