@@ -299,7 +299,10 @@ def main():
                 lg, vjp_fn = jax.vjp(win_logits, gp)
                 Q = (jnp.ones_like(lg) / lg.size).astype(lg.dtype)
                 acc = jax.tree.map(jnp.add, acc, vjp_fn(Q)[0])
-        return jax.tree_util.tree_leaves(acc)[0]
+        # sum EVERY leaf: returning a single leaf lets XLA prune most of
+        # the pullback (measured 5.6 ms / "MXU 338%" — impossible)
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree_util.tree_leaves(acc))
 
     pull_full = timeit("sample+lin+pullback", lin_pullback, gen_params,
                        key, macs=sample_macs + win_macs + pull_macs)

@@ -657,6 +657,21 @@ def _make_chain_res_call(n, L, NB, BB, M, KL, V, HD, DI, H, pre_lnorm,
     )
 
 
+def _pick_bb_stream(B: int, KL: int, HD: int, itemsize: int) -> int | None:
+    """Batch-block size for the STREAMED-K/V path. The matmuls run at BB
+    sublane rows (32 rows cap the MXU at ~25-33% of peak), so prefer the
+    widest block whose streamed K+V blocks (double-buffered) leave room
+    for the weights/residual streams under VMEM_LIMIT. Resident-K/V
+    launches keep the classic pick (VMEM is spent on the resident pair
+    instead)."""
+    hd_pad = -(-HD // 128) * 128
+    for bb in (64, 32, 16, 8):
+        if B % bb == 0 and 4 * bb * KL * hd_pad * itemsize \
+                <= 72 * 1024 * 1024:
+            return min(bb, B)
+    return _pick_bb(B)
+
+
 def chain_res_kv_vmem_bytes(cfg, B: int, KL: int) -> int:
     """VMEM bytes of a resident [L, B, KL, HD] K+V pair (lane-padded)."""
     HD = cfg.n_head * cfg.d_head
@@ -682,9 +697,10 @@ def chain_bwd_q_res(stacked, cfg, kf, vf, r_heads, S, Y, count,
     n = S.shape[0]
     M = KL0 - n
     V = S.shape[2]
-    BB = _pick_bb(B)
     KL = -(-KL0 // 8) * 8            # sublane-align the lane buffers
     resident_kv = (chain_res_kv_vmem_bytes(cfg, B, KL) < _RES_KV_BUDGET)
+    BB = (_pick_bb(B) if resident_kv
+          else _pick_bb_stream(B, KL, HD, jnp.dtype(cfg.cdtype).itemsize))
     call = _make_chain_res_call(
         n, L, B // BB, BB, M, KL, V, HD, cfg.d_inner, cfg.n_head,
         bool(cfg.pre_lnorm), jnp.dtype(cfg.cdtype).name, 1e-5,
