@@ -254,13 +254,21 @@ def main(inference_cfg):
             _, batch_mems = prime_step(
                 params, jnp.asarray(data), xl.init_mems(xcfg, mem_len, 1))
             # incremental memory rounds to the storage dtype every step;
-            # in bf16 the two paths agree to 1-2 ulps (one ulp at |x|~4 is
-            # 0.03), in f32 far tighter (reference used atol=1e-4 on fp32,
-            # generate.py:309-327)
-            atol = 0.08 if mems.hids.dtype == jnp.bfloat16 else 1e-2
+            # the paths agree to a few ulps AT THE ACTIVATION SCALE, so
+            # the bf16 tolerance must be scale-aware: triage on the real
+            # chip at mem 4146 / 4146 tokens (tools/prime_debug_tpu.py)
+            # measured max |mems| 14.9 with incremental-vs-batch max diff
+            # 0.22 = 3.5 ulps (two independent batch formulations agreed
+            # to 1 ulp of each other). 6 ulps of the measured max is the
+            # bf16 analogue of the reference's fp32 atol=1e-4
+            # (generate.py:309-327).
+            batch_f32 = np.asarray(batch_mems.hids, np.float32)
+            if mems.hids.dtype == jnp.bfloat16:
+                atol = 6 * float(np.abs(batch_f32).max()) * 2.0 ** -8
+            else:
+                atol = 1e-2
             diff = np.abs(
-                np.asarray(mems.hids, np.float32)
-                - np.asarray(batch_mems.hids, np.float32)).max()
+                np.asarray(mems.hids, np.float32) - batch_f32).max()
             assert diff < atol, (
                 f"incremental and batch memories diverged: {diff}")
             print("Mem same")

@@ -276,3 +276,34 @@ def test_gumbel_generation_mem_smaller_than_chunk():
         xl.init_mems(xcfg_roll, mem_len, bsz), rng)
     np.testing.assert_array_equal(np.asarray(toks_kv),
                                   np.asarray(toks_roll))
+
+
+@pytest.mark.parametrize("cache_kv", [True, False])
+def test_chunked_prime_matches_single_shot(cache_kv):
+    """make_prime_step drives long contexts as a host loop of
+    <=window-token forwards; with window <= mem_len the composed ring
+    memory must equal the single-shot batch forward's (the VMEM-safe
+    replacement for the one-program debug prime, cli/generate.py)."""
+    xcfg = xl.XLConfig(n_layer=2, n_head=2, d_model=16, d_inner=32,
+                       dropout=0.0, dropatt=0.0, cache_kv=cache_kv)
+    params = xl.init_xl_params(xcfg, seed=13)
+    rng = np.random.default_rng(0)
+    T, M = 70, 80  # M >= T so the oracle leg is truly one forward
+    context = jnp.asarray(rng.integers(0, xcfg.n_token, (T, 1)),
+                          jnp.int32)
+
+    single = sampling.make_prime_step(xcfg, window=T)
+    logits1, mems1 = single(params, context, xl.init_mems(xcfg, M, 1))
+
+    # 3 uneven chunks (32, 32, 6); window < mem_len so composition is
+    # exact, and the last-chunk logits window must agree too
+    chunked = sampling.make_prime_step(xcfg, window=32)
+    logits2, mems2 = chunked(params, context, xl.init_mems(xcfg, M, 1))
+
+    np.testing.assert_allclose(np.asarray(mems1.hids, np.float32),
+                               np.asarray(mems2.hids, np.float32),
+                               atol=2e-5, rtol=1e-5)
+    assert int(mems1.count) == int(mems2.count)
+    np.testing.assert_allclose(
+        np.asarray(logits1[-6:], np.float32),
+        np.asarray(logits2[-6:], np.float32), atol=2e-5, rtol=1e-5)

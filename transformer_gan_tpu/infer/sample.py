@@ -126,9 +126,22 @@ def make_decode_step(xcfg: xl.XLConfig, scfg: SamplingConfig):
     return step
 
 
-def make_prime_step(xcfg: xl.XLConfig):
+PRIME_WINDOW = 128
+
+
+def make_prime_step(xcfg: xl.XLConfig, window: int = PRIME_WINDOW):
     """Batch prefix forward filling the XL memory
-    (reference generate.py:189-200)."""
+    (reference generate.py:189-200).
+
+    Long contexts run as a host loop of <=``window``-token forwards: with
+    ``same_length=True`` and window <= mem_len, every token's attended
+    set (the mem_len tokens before it) lies inside ring-memory + its own
+    window, so chunking composes to exactly the single-shot forward.
+    This keeps the attention kernel at its production qlen (128) instead of
+    compiling one qlen==context program — a 4146-token debug prime at
+    mem 4146 needs a [heads, q, 2*mem] relative-position operand whose
+    per-head VMEM window (66 MB bf16) exceeds the chip's VMEM (measured
+    compile failure on v5e; chunked, the same check runs fine)."""
 
     @jax.jit
     def prime(params, context, mems):
@@ -136,7 +149,18 @@ def make_prime_step(xcfg: xl.XLConfig):
             params, xcfg, context, mems, same_length=True)
         return logits, new_mems
 
-    return prime
+    def prime_chunked(params, context, mems):
+        # window <= runtime memory length is the exactness condition
+        mem_len = (mems.hids.shape[4] if xcfg.cache_kv
+                   else mems.hids.shape[1])
+        w = max(1, min(window, mem_len))
+        T = context.shape[0]
+        logits = None
+        for s in range(0, T, w):
+            logits, mems = prime(params, context[s:s + w], mems)
+        return logits, mems
+
+    return prime_chunked
 
 
 def sample_scan(params, xcfg: xl.XLConfig, scfg: SamplingConfig,
