@@ -187,3 +187,65 @@ def test_trainer_multi_device_cpu(data_dir):
         import numpy as np
         leaf = np.asarray(trainer.state.params["word_emb"])
         assert np.isfinite(leaf).all()
+
+
+def _const_corpus(piece_lens):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write("\n".join(build_performance_vocab()))
+    for split in ("train", "valid", "test"):
+        os.makedirs(os.path.join(d, split))
+    for i, ln in enumerate(piece_lens):
+        arr = np.full((ln,), i + 2, np.int32)  # unique constant id
+        np.save(os.path.join(d, "train", f"p{i:03d}.npy"), arr)
+    for split in ("valid", "test"):
+        for i in range(4):
+            np.save(os.path.join(d, split, f"p{i:03d}.npy"),
+                    np.full((20,), 2, np.int32))
+    return d
+
+
+def test_continuous_refill_conserves_pieces_per_cycle():
+    """DATASET.continuous_refill: each piece must appear exactly once per
+    refill cycle. 12 equal pieces of 16 tokens with bptt 16 make every
+    batch 4 whole pieces, so after 9 batches (3 cycles) every piece id
+    occurs exactly 3 x 16 times in the targets."""
+    d = _const_corpus([16] * 12)
+    cfg = get_default_cfg_training()
+    cfg.defrost()
+    cfg.DATASET.continuous_refill = True
+    cfg.freeze()
+    it = MusicDataset(d, cfg).get_iterator(4, 16, split="train",
+                                           do_shuffle=True, seed=7)()
+    counts = np.zeros(14, np.int64)
+    for _ in range(9):
+        data, target, resets, ntok, sv = next(it)
+        assert ntok == 4 * 16  # no pad slots ever
+        ids, c = np.unique(target, return_counts=True)
+        counts[ids] += c
+    np.testing.assert_array_equal(counts[2:14], 3 * 16)
+
+
+def test_continuous_refill_beats_drain_utilization():
+    """On a ragged corpus with pieces ~ lanes, continuous refill must
+    strictly beat the reference drain semantics' slot utilization (the
+    drain tail measured 37.5% waste on the 200-piece soak corpus)."""
+    d = _const_corpus([8, 16, 24, 40, 120, 200])
+
+    def util(continuous):
+        cfg = get_default_cfg_training()
+        cfg.defrost()
+        cfg.DATASET.continuous_refill = continuous
+        cfg.freeze()
+        it = MusicDataset(d, cfg).get_iterator(4, 16, split="train",
+                                               do_shuffle=True, seed=11)()
+        real = tot = 0
+        for _ in range(120):
+            data, target, resets, ntok, sv = next(it)
+            real += ntok
+            tot += data.size
+        return real / tot
+
+    u_cont, u_drain = util(True), util(False)
+    assert u_cont > u_drain
+    assert u_cont > 0.9

@@ -39,13 +39,21 @@ class _EpochQueue:
     """A single pass over a permutation of piece ids, consumed lazily by
     the batch lanes (replaces the reference's shared ``next_idx`` counter)."""
 
-    def __init__(self, order):
+    def __init__(self, order, refill=None):
         self._order = order
         self._head = 0
+        self._refill = refill
 
     def take(self):
         if self._head >= len(self._order):
-            return None
+            if self._refill is None:
+                return None
+            # continuous mode (DATASET.continuous_refill): draw the next
+            # epoch's shuffled order immediately so no lane ever idles.
+            # Each piece still appears exactly once per refill cycle
+            # (tests/test_dataset.py conservation check).
+            self._order = self._refill()
+            self._head = 0
         piece_id = self._order[self._head]
         self._head += 1
         return piece_id
@@ -255,14 +263,25 @@ class MusicDataset:
         crop = bool(self.cfg.TRAIN.random_crop)
         one_window = crop and self.cfg.TRAIN.mem_length == 0
 
+        # continuous refill needs a shuffled stream (a one-pass
+        # do_shuffle=False loader must still terminate)
+        continuous = bool(getattr(self.cfg.DATASET, "continuous_refill",
+                                  False)) and do_shuffle
+
         def iterator():
             rng = np.random.RandomState(seed)
+
+            def shuffled_order():
+                order = np.arange(len(pieces))
+                rng.shuffle(order)
+                return order
 
             def fresh_epoch():
                 order = np.arange(len(pieces))
                 if do_shuffle:
                     rng.shuffle(order)
-                queue = _EpochQueue(order)
+                queue = _EpochQueue(
+                    order, refill=shuffled_order if continuous else None)
                 return [_TrainLane(queue, pieces, lengths, bptt, rng,
                                    crop=crop, one_window=one_window)
                         for _ in range(batch_size)]
