@@ -277,9 +277,28 @@ class Trainer:
         generate_tokens, train.py:694-744): tgt_len=1 incremental decode
         with mem_len=seq_len, starting from <S>."""
         from ..infer.sample import generate_tokens_gumbel
+        from ..ops import pallas_generate as pgen
+        from ..infer.sample import DECODE_CHUNK, SamplingConfig
+        # wave-size selection (tools/metrics_gen_tpu.py, real chip, the
+        # soak op-point mem=seq=512): 16 lanes through the fused
+        # generation kernel sustain 79.1k tok/s aggregate vs 37.9k for
+        # one 128-lane jnp wave — smaller fused waves pipeline better
+        # than one wide dispatch. Use 16 when the kernel supports it.
+        scfg_g = SamplingConfig(technique="gumbel", temperature=1.0,
+                                exclude_bos=False, num_empty_to_ignore=0)
+        C = min(DECODE_CHUNK, seq_len - 1, seq_len)
+        if (batch_size > 16 and num_samples % 16 == 0
+                and pgen.supports_fused_generate(self.xcfg, scfg_g, 16,
+                                                 seq_len, C)):
+            batch_size = 16
         assert num_samples % batch_size == 0
         out = []
-        rng = jax.random.PRNGKey(1234 + self.train_step_num)
+        # the configured fast TPU PRNG (TPU.rng_impl): the gumbel draws
+        # are [seq_len, bsz, V] uniforms per wave — threefry here cost
+        # ~250s/eval across the three metric generations on the chip vs
+        # 8.5s total with rbg + wave 16 (tools/eval_breakdown_tpu.py)
+        rng = jax.random.key(1234 + self.train_step_num,
+                             impl=self.cfg.TPU.rng_impl)
         for _ in range(num_samples // batch_size):
             rng, r = jax.random.split(rng)
             mems = xl.init_mems(self.xcfg, seq_len, batch_size)
