@@ -164,3 +164,42 @@ def test_final_best_eval_debug_fallback(data_dir):
         with open(os.path.join(trainer.work_dir,
                                "train_rank0.log")) as f:
             assert "checkpoint_best not found" in f.read()
+
+
+def test_generate_tokens_wave_selection(data_dir, monkeypatch):
+    """_generate_tokens drops to 16-lane waves when the fused generation
+    kernel reports support for the op-point, and keeps the caller's
+    batch size otherwise; shape and wave accounting must hold in both
+    modes (the on-chip rate basis is tools/metrics_gen_tpu.py)."""
+    from transformer_gan_tpu.ops import pallas_generate as pgen
+    from transformer_gan_tpu.train.loop import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    with tempfile.TemporaryDirectory() as wd:
+        tr = Trainer(cfg, data_dir=data_dir, work_dir=wd, debug=True)
+
+        calls = []
+        orig = pgen.supports_fused_generate
+
+        def fake_support(xcfg, scfg, bsz, M, C):
+            # True only for the loop's outer gate (first call): the inner
+            # generate_tokens_gumbel gate then falls back to the jnp
+            # chunked decode, which runs on CPU (the fused kernel is
+            # TPU-only); wave selection is what's under test here.
+            calls.append(bsz)
+            return len(calls) == 1 and bsz == 16
+
+        monkeypatch.setattr(pgen, "supports_fused_generate", fake_support)
+        out = tr._generate_tokens(32, 1.0, batch_size=32, seq_len=24)
+        assert out.shape == (32, 24)
+        # outer gate probed at wave 16; any inner generate-path gates see
+        # the same 16-lane wave (their count is an implementation detail)
+        assert calls[0] == 16 and all(c == 16 for c in calls)
+
+        # unsupported -> caller's batch size kept (single 32-lane wave)
+        monkeypatch.setattr(pgen, "supports_fused_generate",
+                            lambda *a: False)
+        out2 = tr._generate_tokens(32, 1.0, batch_size=32, seq_len=24)
+        assert out2.shape == (32, 24)
+        monkeypatch.setattr(pgen, "supports_fused_generate", orig)
