@@ -276,6 +276,17 @@ def _metric(cfg: CfgNode) -> CfgNode:
     cfg.METRICS = CfgNode()
     cfg.METRICS.use_bleu = False
     cfg.METRICS.use_self_bleu = False
+    # BLEU/self-BLEU generation op-point (reference train.py:785,794-803:
+    # seq_len 2048, wave 625 as BLEU hyps + self-BLEU refs, wave 2500 as
+    # self-BLEU hyps). 625 would trip the reference's own
+    # num_samples % batch_size assert (train.py:697) — a reference bug;
+    # defaults here round to the nearest batch multiples keeping the 1:4
+    # wave ratio. New keys (absent from the reference schema), so
+    # reference YAMLs still load unchanged.
+    cfg.METRICS.gen_seq_len = 2048
+    cfg.METRICS.gen_batch_size = 128
+    cfg.METRICS.bleu_num_samples = 640
+    cfg.METRICS.self_bleu_num_samples = 2560
     cfg.METRICS.CLASSIFIER = CfgNode()
     cfg.METRICS.CLASSIFIER.use_classifier = False
     cfg.METRICS.CLASSIFIER.gen_batch_size = 128

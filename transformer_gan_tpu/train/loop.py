@@ -170,6 +170,10 @@ class Trainer:
             batch_size=cfg.METRICS.CLASSIFIER.bert_batch_size,
             model_name_or_path=cfg.METRICS.CLASSIFIER.model_path)
 
+        # independent-stream counter for the metric generation waves
+        # (see _generate_tokens)
+        self._gen_wave = 0
+
         self.gan = None
         if self.has_gan:
             from .gan_loop import GanPhases
@@ -297,8 +301,18 @@ class Trainer:
         # are [seq_len, bsz, V] uniforms per wave — threefry here cost
         # ~250s/eval across the three metric generations on the chip vs
         # 8.5s total with rbg + wave 16 (tools/eval_breakdown_tpu.py)
+        #
+        # Each call consumes an INDEPENDENT stream: the reference draws
+        # its two self-BLEU sample sets from torch's advancing global RNG
+        # (train.py:794-803), so the hypothesis and reference waves are
+        # decorrelated — seeding from train_step_num alone made every
+        # wave in one eval identical and self-BLEU degenerate (== 1.0,
+        # round-4 verdict). The monotonically increasing wave counter
+        # keeps the draw reproducible per (step, call-index).
         rng = jax.random.key(1234 + self.train_step_num,
                              impl=self.cfg.TPU.rng_impl)
+        rng = jax.random.fold_in(rng, self._gen_wave)
+        self._gen_wave += 1
         for _ in range(num_samples // batch_size):
             rng, r = jax.random.split(rng)
             mems = xl.init_mems(self.xcfg, seq_len, batch_size)
@@ -311,26 +325,40 @@ class Trainer:
 
     def _generation_metrics(self, mode):
         """BLEU / self-BLEU / classifier accuracy on generated samples
-        (reference evaluate(), train.py:781-819)."""
+        (reference evaluate(), train.py:781-819).
+
+        Op-point mirrors the reference: 2048-token samples, a first wave
+        used both as BLEU hypotheses and self-BLEU references, and a 4x
+        larger second wave as self-BLEU hypotheses (625/2500 at
+        train.py:794-803,785). The reference's literal 625 would trip its
+        own ``assert num_samples % batch_size == 0`` (train.py:697 with
+        batch_size 128) — the shipped defaults round both waves up to the
+        nearest multiple of the wave width (640/2560), keeping the 1:4
+        ratio. All four knobs are config (METRICS.gen_seq_len /
+        gen_batch_size / bleu_num_samples / self_bleu_num_samples)."""
         cfg = self.cfg
         temperature = self.gan.temperature if self.gan is not None else 1.0
+        n1 = cfg.METRICS.bleu_num_samples
+        n2 = cfg.METRICS.self_bleu_num_samples
+        bsz = cfg.METRICS.gen_batch_size
+        slen = cfg.METRICS.gen_seq_len
         gen_tokens = None
         if cfg.METRICS.use_bleu:
-            gen_tokens = self._generate_tokens(512, temperature,
-                                               batch_size=128,
-                                               seq_len=512).tolist()
+            gen_tokens = self._generate_tokens(n1, temperature,
+                                               batch_size=bsz,
+                                               seq_len=slen).tolist()
             corpus = (self.dataset.valid_data if mode == "eval"
                       else self.dataset.test_data)
             self.bleu.reset(test_text=gen_tokens,
                             real_text=[x.tolist() for x in corpus])
         if cfg.METRICS.use_self_bleu and mode == "eval":
             if gen_tokens is None:
-                gen_tokens = self._generate_tokens(512, temperature,
-                                                   batch_size=128,
-                                                   seq_len=512).tolist()
-            gen_tokens_s = self._generate_tokens(512, temperature,
-                                                 batch_size=128,
-                                                 seq_len=512).tolist()
+                gen_tokens = self._generate_tokens(n1, temperature,
+                                                   batch_size=bsz,
+                                                   seq_len=slen).tolist()
+            gen_tokens_s = self._generate_tokens(n2, temperature,
+                                                 batch_size=bsz,
+                                                 seq_len=slen).tolist()
             self.self_bleu.reset(test_text=gen_tokens_s,
                                  real_text=gen_tokens)
         if cfg.METRICS.CLASSIFIER.use_classifier and mode == "eval":
