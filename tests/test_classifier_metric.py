@@ -1,0 +1,84 @@
+"""Classifier quality-metric tests (reference model/utils/classifier.py):
+BERT-feature LinearSVC real-vs-generated accuracy, with the jitted
+feature forward cached across reset()/get_score() cycles and the cost
+split (load / first-compile / features / svm) recorded per call."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from transformer_gan_tpu.metrics.classifier import Classifier
+
+
+@pytest.fixture(scope="module")
+def bert_ckpt():
+    from transformer_gan_tpu.models import bert as bert_mod
+    from transformer_gan_tpu.train import checkpoint as ckpt
+
+    cfg = dict(vocab_size=311, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=2, intermediate_size=64)
+    params = bert_mod.init_bert_params(bert_mod.BertConfig(**cfg), seed=3)
+    d = tempfile.mkdtemp()
+    path = ckpt.save_checkpoint(d, "checkpoint-1", {"params": params},
+                                {"config": cfg})
+    return path
+
+
+def _texts(rng, n, lo, hi, block):
+    # sequences long enough to yield >=1 block each
+    return [rng.integers(lo, hi, size=(block * 2 + 3,)).tolist()
+            for _ in range(n)]
+
+
+def test_classifier_scores_and_caches_model(bert_ckpt):
+    rng = np.random.default_rng(0)
+    block = 16
+    clf = Classifier("Classifier", if_use=True, seq_len=block,
+                     batch_size=4, model_name_or_path=bert_ckpt)
+    # separable populations: disjoint token ranges
+    real = _texts(rng, 12, 2, 100, block)
+    gen = _texts(rng, 12, 150, 300, block)
+    clf.reset(test_text=gen, real_text=real)
+    acc1 = clf.get_score()
+    assert 0.0 <= acc1 <= 1.0
+    assert not clf.load_failed
+    t1 = dict(clf.last_timing)
+    # first call pays model load + jit compile, and attributes them
+    assert "load_model_s" in t1 and "first_compile_s" in t1
+    assert t1["n_blocks"] > 0 and "features_s" in t1 and "svm_s" in t1
+
+    # second eval cycle: model and jitted forward must be reused —
+    # no load/compile entries, only steady-state cost
+    fwd = clf._fwd
+    clf.reset(test_text=gen, real_text=real)
+    acc2 = clf.get_score()
+    assert clf._fwd is fwd, "jitted feature forward was rebuilt on reset"
+    t2 = clf.last_timing
+    assert "load_model_s" not in t2 and "first_compile_s" not in t2
+    assert acc1 == acc2  # same inputs + cached model -> same accuracy
+
+
+def test_classifier_separable_populations_high_accuracy(bert_ckpt):
+    """Disjoint-vocab real/generated blocks must be nearly perfectly
+    separable even with random BERT features of them."""
+    rng = np.random.default_rng(1)
+    block = 16
+    clf = Classifier("Classifier", if_use=True, seq_len=block,
+                     batch_size=4, model_name_or_path=bert_ckpt)
+    real = _texts(rng, 20, 2, 50, block)
+    gen = _texts(rng, 20, 250, 300, block)
+    clf.reset(test_text=gen, real_text=real)
+    assert clf.get_score() > 0.8
+
+
+def test_classifier_bad_path_reports_invalid():
+    clf = Classifier("Classifier", if_use=True, seq_len=8, batch_size=2,
+                     model_name_or_path="/nonexistent/ckpt")
+    clf.reset(test_text=[[1] * 20], real_text=[[2] * 20])
+    assert clf.get_score() == -1.0
+
+
+def test_classifier_disabled_returns_zero():
+    assert Classifier("Classifier", if_use=False).get_score() == 0

@@ -34,6 +34,7 @@ class Classifier(Metrics):
         self.block_size = seq_len
         self.model_name_or_path = model_name_or_path
         self._fwd = None
+        self.last_timing = {}
 
     def _load_model(self):
         import jax
@@ -90,17 +91,27 @@ class Classifier(Metrics):
         return xs, ys
 
     def _features(self, blocks):
+        """Per-block BERT features, dispatched asynchronously.
+
+        All batches are enqueued before any result is fetched: a per-batch
+        host fetch (np.asarray on each output) costs a full dispatch+fetch
+        round trip on the tunnel-backed TPU runtime (~33 ms each) and
+        serializes the whole feature pass; one device_get at the end lets
+        the dispatches pipeline."""
+        import jax
         import jax.numpy as jnp
-        feats = []
+        outs, keep = [], []
         for i in range(0, len(blocks), self.batch_size):
             batch = np.stack(blocks[i:i + self.batch_size]).astype(np.int32)
             pad = self.batch_size - batch.shape[0]
             if pad:
                 batch = np.concatenate(
                     [batch, np.zeros((pad, batch.shape[1]), np.int32)])
-            out = np.asarray(self._fwd(self._params, jnp.asarray(batch)))
-            feats.append(out[:batch.shape[0] - pad if pad else None])
-        return np.concatenate(feats, 0)
+            outs.append(self._fwd(self._params, jnp.asarray(batch)))
+            keep.append(self.batch_size - pad)
+        fetched = jax.device_get(outs)
+        return np.concatenate(
+            [o[:k] for o, k in zip(fetched, keep)], 0)
 
     def reset(self, test_text=None, real_text=None):
         if test_text is not None:
@@ -111,17 +122,39 @@ class Classifier(Metrics):
     def get_score(self):
         if not self.if_use:
             return 0
+        import logging
+        import time
+
         from sklearn import svm
         from sklearn.metrics import accuracy_score
         from sklearn.preprocessing import StandardScaler
 
+        # Cost attribution (self.last_timing): the one-shot 423.9 s
+        # recorded in EVAL_BREAKDOWN_TPU.json bundled model init, the
+        # first jit compile, feature passes, and the SVM fit into a
+        # single number; subsequent evals reuse the cached jitted
+        # forward (self._fwd persists across reset()), so the split
+        # matters for eval-cadence accounting.
+        timing = {}
+        pc = time.perf_counter
         if self._fwd is None:
+            t0 = pc()
             self._load_model()
+            timing["load_model_s"] = round(pc() - t0, 2)
+            if not self.load_failed:
+                import jax.numpy as jnp
+                t0 = pc()
+                dummy = np.zeros((self.batch_size, self.block_size),
+                                 np.int32)
+                np.asarray(self._fwd(self._params, jnp.asarray(dummy)))
+                timing["first_compile_s"] = round(pc() - t0, 2)
         if self.load_failed:
             return -1.0  # invalid marker: checkpoint didn't load
 
+        t0 = pc()
         real_x, real_y = self._blocks(self.real_text, 0)
         gen_x, gen_y = self._blocks(self.test_text, 1)
+        timing["blocks_s"] = round(pc() - t0, 2)
 
         def split(xs, ys):
             k = int(0.8 * len(xs))
@@ -136,10 +169,18 @@ class Classifier(Metrics):
         if not train_x or not eval_x:
             return 0.0
 
+        t0 = pc()
         X = self._features(train_x)
+        Xe = self._features(eval_x)
+        timing["features_s"] = round(pc() - t0, 2)
+        timing["n_blocks"] = len(train_x) + len(eval_x)
+
+        t0 = pc()
         scaler = StandardScaler().fit(X)
         clf = svm.LinearSVC(max_iter=10000, dual=False)
         clf.fit(scaler.transform(X), train_y)
-
-        Xe = self._features(eval_x)
-        return accuracy_score(eval_y, clf.predict(scaler.transform(Xe)))
+        acc = accuracy_score(eval_y, clf.predict(scaler.transform(Xe)))
+        timing["svm_s"] = round(pc() - t0, 2)
+        self.last_timing = timing
+        logging.getLogger(__name__).info("classifier timing: %s", timing)
+        return acc
