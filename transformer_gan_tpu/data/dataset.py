@@ -27,12 +27,16 @@ framework-free).
 from __future__ import annotations
 
 import glob
+import logging
 import multiprocessing
 import os
 
 import numpy as np
 
 from .vocab import BaseVocab
+
+# rolling-window size (batches) for train-lane utilization reporting
+_UTIL_WINDOW = 512
 
 
 class _EpochQueue:
@@ -268,6 +272,15 @@ class MusicDataset:
         continuous = bool(getattr(self.cfg.DATASET, "continuous_refill",
                                   False)) and do_shuffle
 
+        # An all-degenerate corpus (every piece only a start token) has
+        # nothing to emit: the drain path would rebuild epochs forever and
+        # the continuous path would spin inside one take() call pulling
+        # and discarding pieces — fail loud instead (ADVICE r4).
+        if not (np.asarray(lengths) > 1).any():
+            raise ValueError(
+                f"{split} corpus has no emittable tokens (every piece is "
+                "<= 1 token after the start-token prepend)")
+
         def iterator():
             rng = np.random.RandomState(seed)
 
@@ -286,11 +299,32 @@ class MusicDataset:
                                    crop=crop, one_window=one_window)
                         for _ in range(batch_size)]
 
+            def report_utilization(tokens, batches):
+                """Measured slot utilization: under the reference's drain
+                semantics lanes idle while the epoch tail empties — the
+                round-4 soak fed 128 lanes from a 200-piece corpus at
+                62.5%, a silent 1.6x tokens/s loss. Warn so small corpora
+                point at the opt-in fix."""
+                if not batches:
+                    return
+                util = tokens / (batches * bptt * batch_size)
+                logger = logging.getLogger(__name__)
+                logger.info("train iterator slot utilization: %.1f%% over "
+                            "%d batches", 100.0 * util, batches)
+                if util < 0.8:
+                    logger.warning(
+                        "train lanes ran at %.1f%% slot utilization — "
+                        "tokens/s scales with it; for small corpora set "
+                        "DATASET.continuous_refill: true to keep lanes "
+                        "fed across epoch boundaries", 100.0 * util)
+
             lanes = fresh_epoch()
             data = np.empty((bptt, batch_size), dtype=np.int64)
             target = np.empty((bptt, batch_size), dtype=np.int64)
             reset_mem = np.empty((batch_size,), dtype=bool)
             status_vec = self._status_buffer(bptt, batch_size)
+            win_tokens = 0
+            win_batches = 0
 
             while True:
                 data[:] = self.vocab.pad_id
@@ -301,9 +335,19 @@ class MusicDataset:
                     batch_token_num += n
                 if batch_token_num == 0:
                     if not do_shuffle:
+                        report_utilization(win_tokens, win_batches)
                         return  # one-pass loader
+                    report_utilization(win_tokens, win_batches)
+                    win_tokens = win_batches = 0
                     lanes = fresh_epoch()
                     continue
+                win_tokens += batch_token_num
+                win_batches += 1
+                if win_batches >= _UTIL_WINDOW:
+                    # continuous mode never drains an epoch; report on a
+                    # rolling window so utilization is still observable
+                    report_utilization(win_tokens, win_batches)
+                    win_tokens = win_batches = 0
 
                 if status_vec is not None:
                     status_vec[:, reset_mem, :] = False
