@@ -45,13 +45,15 @@ def make_block_scorer(params, bert_cfg, mask_token_id: int,
     def score_block(block):
         block = np.asarray(block, np.int32)
         n = block.shape[0]
-        vals = []
+        outs = []
+        # enqueue every sub-batch before fetching: a per-sub-batch host
+        # fetch serializes dispatch on the tunnel-backed TPU runtime
         for j in range(0, n, sub_batch):
             pos = np.arange(j, min(j + sub_batch, n), dtype=np.int32)
             rows = np.tile(block, (len(pos), 1))
             rows[np.arange(len(pos)), pos] = mask_token_id
-            vals.append(np.asarray(score_rows(
-                params, rows, pos, block[pos])))
+            outs.append(score_rows(params, rows, pos, block[pos]))
+        vals = jax.device_get(outs)
         return float(np.concatenate(vals).mean())
 
     return score_block
@@ -59,14 +61,30 @@ def make_block_scorer(params, bert_cfg, mask_token_id: int,
 
 def run_score(model_path: str, input_dir: str,
               len_tokens_evaluated: int = 2048) -> float:
-    """Mean pseudo-log-likelihood over all npy files in input_dir."""
+    """Mean pseudo-log-likelihood over all npy files in input_dir.
+
+    The BERT is sized from the checkpoint's recorded config (the
+    reference's BertConfig.from_pretrained equivalent,
+    bert_score.py:226-229): a default-shaped template would silently
+    half-load a differently-sized checkpoint through the non-strict
+    restore. A missing/unloadable checkpoint raises — random-init
+    pseudo-likelihoods look plausible but mean nothing."""
     from ..models import bert as bert_mod
     from ..train import checkpoint as ckpt
 
-    cfg = bert_mod.BertConfig()
+    if not (model_path and os.path.isdir(model_path)):
+        raise FileNotFoundError(
+            f"bert_score needs a pretrained BERT checkpoint; "
+            f"{model_path!r} is not a checkpoint directory")
+    kw = {}
+    meta = ckpt.load_metadata(model_path)
+    for key in ("vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size"):
+        if key in meta.get("config", {}):
+            kw[key] = int(meta["config"][key])
+    cfg = bert_mod.BertConfig(**kw)
     params = bert_mod.init_bert_params(cfg, seed=0)
-    if model_path and os.path.isdir(model_path):
-        params = ckpt.load_generator_params(model_path, params)
+    params = ckpt.load_generator_params(model_path, params)
     mask_token_id = cfg.vocab_size - 1  # [MASK] appended last
     scorer = make_block_scorer(params, cfg, mask_token_id)
 
