@@ -9,6 +9,7 @@ memories (generate.py:309-327) plus prime NLL (generate.py:329-360).
 """
 
 import argparse
+import math
 import os
 import sys
 
@@ -264,7 +265,15 @@ def main(inference_cfg):
             # (generate.py:309-327).
             batch_f32 = np.asarray(batch_mems.hids, np.float32)
             if mems.hids.dtype == jnp.bfloat16:
-                atol = 6 * float(np.abs(batch_f32).max()) * 2.0 ** -8
+                # ulp from the exponent, not max|x| * 2^-8: the latter is
+                # 0.5-1 true bf16 ulp depending on where the max sits in
+                # its binade, so the intended 6-ulp budget could shrink to
+                # ~3 effective ulps (below the 3.5-ulp divergence measured
+                # on chip) whenever the max lands just above a power of
+                # two (ADVICE r4). bf16 ulp(x) = 2^(floor(log2|x|) - 7).
+                max_abs = float(np.abs(batch_f32).max())
+                exp = math.floor(math.log2(max_abs)) if max_abs > 0 else 0
+                atol = 6 * 2.0 ** (exp - 7)
             else:
                 atol = 1e-2
             diff = np.abs(

@@ -302,3 +302,40 @@ def test_generation_metrics_reference_op_point(data_dir, monkeypatch):
         # wave roles: wave1 -> self-BLEU references, wave2 -> hypotheses
         assert seen["real"] == waves[0].tolist()
         assert seen["test"] == waves[1].tolist()
+
+
+# ---------------------------------------------------------------------------
+# bench.py watchdog contract (round-3 postmortem): the bench process must
+# ALWAYS print exactly one schema-complete JSON line and exit 0, even
+# when the watchdog fires mid-run.
+# ---------------------------------------------------------------------------
+
+def test_bench_watchdog_fire_ships_schema_complete_json():
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # tunnel-free: no TPU claim
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_WATCHDOG_S"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = []
+    for line in proc.stdout.splitlines():
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict):
+            json_lines.append(obj)
+    assert len(json_lines) == 1, proc.stdout
+    out = json_lines[0]
+    for key in ("metric", "value", "unit", "vs_baseline", "section_s"):
+        assert key in out, f"missing {key}: {out}"
+    assert out["metric"] == "train_tokens_per_sec_per_chip"
+    assert isinstance(out["value"], (int, float))
+    assert "watchdog" in out and "fired" in out["watchdog"]

@@ -60,3 +60,37 @@ def test_bleu_score_semantics():
 def test_bleu_disabled_returns_zero():
     m = BLEU("BLEU", gram=3, if_use=False)
     assert m.get_score() == 0
+
+
+def test_is_fast_subset_draw_semantics(monkeypatch):
+    """Reference contract (bleu.py:107-145): get_bleu_fast draws ONE
+    shuffled reference subset shared across grams; the slow path draws a
+    fresh subset per gram. Only distinguishable at portion < 1 (ADVICE
+    r4); assert via the number of subset draws."""
+    rng = np.random.default_rng(2)
+    corpus = _rand_texts(rng, 20, lo=10, hi=20)
+    m = BLEU("BLEU", gram=[2, 3], portion=0.5, if_use=True)
+    m.reset(test_text=corpus[:5], real_text=corpus)
+
+    draws = []
+    orig = BLEU.get_reference
+
+    def counting(self):
+        draws.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(BLEU, "get_reference", counting)
+    random.seed(3)
+    m.get_score(is_fast=True)
+    fast_draws = len(draws)   # is_first init draw + one shared draw
+    assert fast_draws == 2
+
+    draws.clear()
+    m.get_score(is_fast=False)
+    assert len(draws) == 2    # one fresh subset per gram
+
+    # portion < 1 fast path must produce valid scores from its single
+    # half-corpus subset
+    random.seed(4)
+    scores = m.get_score(is_fast=True)
+    assert len(scores) == 2 and all(0.0 <= s <= 1.0 for s in scores)

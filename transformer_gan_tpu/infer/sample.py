@@ -141,7 +141,14 @@ def make_prime_step(xcfg: xl.XLConfig, window: int = PRIME_WINDOW):
     compiling one qlen==context program — a 4146-token debug prime at
     mem 4146 needs a [heads, q, 2*mem] relative-position operand whose
     per-head VMEM window (66 MB bf16) exceeds the chip's VMEM (measured
-    compile failure on v5e; chunked, the same check runs fine)."""
+    compile failure on v5e; chunked, the same check runs fine).
+
+    Returned logits cover ONLY the final chunk: for a T-token context the
+    rows are the last ``T % window`` tokens (or the last ``window`` when
+    T divides evenly), NOT the full context — indexing them by absolute
+    context position is wrong. The returned mems are complete (all T
+    tokens absorbed); callers needing only next-token logits read the
+    last row, which is exact."""
 
     @jax.jit
     def prime(params, context, mems):

@@ -155,24 +155,26 @@ class BLEU(Metrics):
             self.is_first = False
         grams = [given_gram] if given_gram is not None else self.gram
         all_bleu = []
+        # The _RefProfile precomputation replaces both reference paths
+        # (it is faster than the multiprocessing fan-out and exact — no
+        # fork() under a multithreaded JAX host), but the SUBSET-drawing
+        # semantics track the reference (bleu.py:107-145): is_fast
+        # (get_bleu_fast) draws ONE shuffled subset shared by every
+        # gram; the slow path (get_bleu) redraws a fresh subset per
+        # gram. The two only differ for portion < 1 — at portion 1 the
+        # subset is the whole corpus either way.
         shared_profile = None
+        if is_fast:
+            shared_reference = self.get_reference()
         for ngram in grams:
-            reference = self.get_reference()
             weight = tuple(1.0 / ngram for _ in range(ngram))
-            # is_fast keeps its reference meaning (bleu.py:117-125:
-            # multiprocessing fan-out) but the precomputed reference
-            # profile is faster than either path and exact, so both
-            # branches use it; no fork() under a multithreaded JAX host.
-            # With portion == 1 the shuffled reference SET is the same
-            # every gram (clipping maxima are order-independent), so one
-            # max-n profile serves the whole gram list; get_reference()
-            # still runs per gram to keep the random stream unchanged.
-            if self.portion == 1:
+            if is_fast:
                 if shared_profile is None:
-                    shared_profile = _RefProfile(reference, max(grams))
+                    shared_profile = _RefProfile(shared_reference,
+                                                 max(grams))
                 profile = shared_profile
             else:
-                profile = _RefProfile(reference, ngram)
+                profile = _RefProfile(self.get_reference(), ngram)
             scores = [profile.sentence_bleu(hyp, weight)
                       for hyp in self.test_text[:self.sample_size]]
             all_bleu.append(round(sum(scores) / max(len(scores), 1), 3))
