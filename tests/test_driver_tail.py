@@ -202,6 +202,19 @@ def test_generate_tokens_wave_selection(data_dir, monkeypatch):
                             lambda *a: False)
         out2 = tr._generate_tokens(32, 1.0, batch_size=32, seq_len=24)
         assert out2.shape == (32, 24)
+
+        # VMEM gate rejects 16 but admits 8 (the reference op-point 2048
+        # regime): the probe must fall through to the narrower wave
+        probes = []
+
+        def support_8(xcfg, scfg, bsz, M, C):
+            probes.append(bsz)
+            return len(probes) <= 2 and bsz == 8
+
+        monkeypatch.setattr(pgen, "supports_fused_generate", support_8)
+        out3 = tr._generate_tokens(32, 1.0, batch_size=32, seq_len=24)
+        assert out3.shape == (32, 24)
+        assert probes[:2] == [16, 8]
         monkeypatch.setattr(pgen, "supports_fused_generate", orig)
 
 

@@ -56,7 +56,7 @@ def main():
 
     L = args.seq_len
     report = {"seq_len": L, "waves": {}}
-    for bsz in (128, 64, 32, 16, 8):
+    for bsz in (128, 64, 32, 16, 8, 4):
         rng = jax.random.key(7, impl=getattr(cfg.TPU, "rng_impl",
                                              "threefry2x32"))
         mems = xl.init_mems(xcfg, L, bsz)

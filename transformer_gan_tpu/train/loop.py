@@ -283,18 +283,22 @@ class Trainer:
         from ..infer.sample import generate_tokens_gumbel
         from ..ops import pallas_generate as pgen
         from ..infer.sample import DECODE_CHUNK, SamplingConfig
-        # wave-size selection (tools/metrics_gen_tpu.py, real chip, the
-        # soak op-point mem=seq=512): 16 lanes through the fused
-        # generation kernel sustain 79.1k tok/s aggregate vs 37.9k for
-        # one 128-lane jnp wave — smaller fused waves pipeline better
-        # than one wide dispatch. Use 16 when the kernel supports it.
+        # wave-size selection (tools/metrics_gen_tpu.py, real chip):
+        # fused waves beat one wide jnp dispatch — at mem=seq=512, 16
+        # fused lanes sustain 79.1k tok/s aggregate vs 37.9k for a
+        # 128-lane jnp wave. The fused kernel's VMEM gate shrinks the
+        # feasible wave as seq_len grows (16 lanes fit at 512; only <=4
+        # at the reference op-point 2048), so probe descending widths
+        # and take the widest supported one.
         scfg_g = SamplingConfig(technique="gumbel", temperature=1.0,
                                 exclude_bos=False, num_empty_to_ignore=0)
         C = min(DECODE_CHUNK, seq_len - 1, seq_len)
-        if (batch_size > 16 and num_samples % 16 == 0
-                and pgen.supports_fused_generate(self.xcfg, scfg_g, 16,
-                                                 seq_len, C)):
-            batch_size = 16
+        for wave in (16, 8, 4):
+            if (batch_size > wave and num_samples % wave == 0
+                    and pgen.supports_fused_generate(self.xcfg, scfg_g,
+                                                     wave, seq_len, C)):
+                batch_size = wave
+                break
         assert num_samples % batch_size == 0
         out = []
         # the configured fast TPU PRNG (TPU.rng_impl): the gumbel draws
