@@ -82,9 +82,14 @@ def run_score(model_path: str, input_dir: str,
                 "num_attention_heads", "intermediate_size"):
         if key in meta.get("config", {}):
             kw[key] = int(meta["config"][key])
+    import jax
+
     cfg = bert_mod.BertConfig(**kw)
     params = bert_mod.init_bert_params(cfg, seed=0)
-    params = ckpt.load_generator_params(model_path, params)
+    # device_put once: load_generator_params returns host numpy, which
+    # a jitted call re-transfers on EVERY dispatch (measured 4.4 s per
+    # batch through the tunnel for these weights in the classifier)
+    params = jax.device_put(ckpt.load_generator_params(model_path, params))
     mask_token_id = cfg.vocab_size - 1  # [MASK] appended last
     scorer = make_block_scorer(params, cfg, mask_token_id)
 

@@ -317,15 +317,19 @@ class Trainer:
                              impl=self.cfg.TPU.rng_impl)
         rng = jax.random.fold_in(rng, self._gen_wave)
         self._gen_wave += 1
+        # enqueue every wave before fetching: a per-wave host fetch
+        # serializes the waves on the tunnel runtime, and at the 2048
+        # op-point an eval runs hundreds of narrow fused waves
+        # (640+2560+256 samples / wave 4)
         for _ in range(num_samples // batch_size):
             rng, r = jax.random.split(rng)
             mems = xl.init_mems(self.xcfg, seq_len, batch_size)
             first = jnp.zeros((batch_size,), jnp.int32)
-            toks = generate_tokens_gumbel(
+            out.append(generate_tokens_gumbel(
                 self.state.params, self.xcfg, float(temperature), seq_len,
-                first, mems, r)
-            out.append(np.asarray(toks).T)  # [bsz, seq_len]
-        return np.concatenate(out, axis=0)
+                first, mems, r))
+        return np.concatenate(
+            [np.asarray(t).T for t in jax.device_get(out)], axis=0)
 
     def _generation_metrics(self, mode):
         """BLEU / self-BLEU / classifier accuracy on generated samples
