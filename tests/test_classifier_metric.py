@@ -82,3 +82,17 @@ def test_classifier_bad_path_reports_invalid():
 
 def test_classifier_disabled_returns_zero():
     assert Classifier("Classifier", if_use=False).get_score() == 0
+
+
+def test_classifier_params_are_device_resident(bert_ckpt):
+    """load_generator_params returns host numpy; if the classifier keeps
+    numpy params, every jitted feature dispatch re-transfers the full
+    BERT weight tree (measured 4.4 s/batch through the TPU tunnel — a
+    silent 311 s/eval tax before the device_put fix)."""
+    import jax
+
+    clf = Classifier("Classifier", if_use=True, seq_len=8, batch_size=2,
+                     model_name_or_path=bert_ckpt)
+    clf._load_model()
+    for leaf in jax.tree.leaves(clf._params):
+        assert isinstance(leaf, jax.Array), type(leaf)
