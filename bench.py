@@ -245,12 +245,21 @@ def bench_mle(on_tpu: bool, batch_chunk: int = 1,
     # a single group (measured 14% swings between otherwise-identical
     # runs); the minimum is the sustained-throughput number
     elapsed = float("inf")
-    for _ in range(3 if on_tpu else 1):
+    for g in range(3 if on_tpu else 1):
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = step_fn(state, *batches[i % len(batches)])
         float(metrics["loss_weighted"])
         elapsed = min(elapsed, time.perf_counter() - t0)
+        if batch_chunk == 1:
+            # provisional headline after EVERY completed group: on a
+            # slow remote-compile day the first compile alone ate 777 of
+            # the 840 watchdog seconds (round 5) — a fire between groups
+            # must ship a real number, not 0.0
+            tps = bsz * tgt * iters / elapsed
+            RESULT["value"] = round(tps, 1)
+            RESULT["vs_baseline"] = round(tps / TARGET, 3)
+            RESULT["timing_groups_done"] = g + 1
 
     tokens_per_s = bsz * tgt * iters / elapsed
     out = {
