@@ -12,11 +12,9 @@ replaced by 0.1).
 from __future__ import annotations
 
 import math
-import os
 import random
 from abc import abstractmethod
 from collections import Counter
-from multiprocessing import Pool
 
 
 class Metrics:
